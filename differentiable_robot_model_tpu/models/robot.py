@@ -1,0 +1,392 @@
+"""High-level robot model API: drop-in surface for the reference library.
+
+Mirrors the public API of the reference's DifferentiableRobotModel
+(reference: differentiable_robot_model/robot_model.py:87-754 and the named
+robots at :757-791) on top of the functional TPU-native core (ops/). Every
+compute_* method is backed by a jit-compiled, vmapped pure function over the
+RobotStruct pytree; methods accept unbatched [D] or batched [B, D] (or any
+leading batch shape) inputs, mirroring the reference's `tensor_check`
+normalization (robot_model.py:25-84).
+
+Differences from the reference, by design:
+- Stateless: `update_kinematic_state` returns a KinematicState pytree instead
+  of mutating per-link objects (there is no hidden device state to keep in
+  sync — required for jit/vmap/grad composability).
+- Learnable parameters are functional overlays: `make_link_param_learnable`
+  registers a constrained parametrization; training code gets explicit
+  parameter pytrees from `.parameters()` and passes them back via `params=`
+  on any compute_* call (see models/learnable.py). This replaces the
+  reference's nn.Module surgery (robot_model.py:682-713).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import dynamics as D
+from ..ops import kinematics as K
+from ..ops.lie import matrix_to_quaternion
+from .learnable import LearnableSet
+from .structs import RobotStruct
+from .urdf import robot_struct_from_urdf
+
+robot_description_folder = os.path.join(os.path.dirname(__file__), "..", "robot_data")
+robot_description_folder = os.path.abspath(robot_description_folder)
+
+
+class KinematicState(NamedTuple):
+    """World-frame kinematic state of all links (stacked over links).
+
+    Functional replacement for the state the reference smears across its
+    per-link objects in update_kinematic_state (robot_model.py:140-195).
+    """
+
+    rot: jnp.ndarray  # [..., L, 3, 3] link world rotations
+    pos: jnp.ndarray  # [..., L, 3] link world positions
+    subspace: jnp.ndarray  # [..., L, 6] world joint motion subspaces
+    vel: jnp.ndarray  # [..., L, 6] world-origin spatial velocities
+
+
+# ---------------------------------------------------------------------------
+# Module-level jitted kernels (cached across model instances by jax.jit).
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _fk_all(robot: RobotStruct, q: jnp.ndarray):
+    R, p = jax.vmap(lambda qq: K.fk_world(robot, qq))(q)
+    quat = matrix_to_quaternion(R)
+    return p, quat
+
+
+@jax.jit
+def _kin_state(robot: RobotStruct, q: jnp.ndarray, qd: jnp.ndarray) -> KinematicState:
+    def one(qq, qqd):
+        R, p = K.fk_world(robot, qq)
+        S = K.world_joint_subspaces(robot, R, p)
+        V = K.body_velocities(robot, S, qqd)
+        return KinematicState(R, p, S, V)
+
+    return jax.vmap(one)(q, qd)
+
+
+def _jacobian_impl(robot: RobotStruct, q: jnp.ndarray, link_idx: int):
+    return jax.vmap(lambda qq: K.link_jacobian(robot, qq, link_idx))(q)
+
+
+_jacobian = jax.jit(_jacobian_impl, static_argnames=("link_idx",))
+
+
+def _inverse_dynamics_impl(robot, q, qd, qdd, include_gravity, use_damping):
+    def one(a, b, c):
+        return D.rnea(robot, a, b, c, include_gravity, use_damping)
+
+    return jax.vmap(one)(q, qd, qdd)
+
+
+_inverse_dynamics = jax.jit(
+    _inverse_dynamics_impl, static_argnames=("include_gravity", "use_damping")
+)
+
+
+@jax.jit
+def _mass_matrix(robot, q):
+    return jax.vmap(lambda a: D.mass_matrix(robot, a))(q)
+
+
+def _fd_crb_impl(robot, q, qd, f, include_gravity, use_damping):
+    def one(a, b, c):
+        return D.forward_dynamics_crb(robot, a, b, c, include_gravity, use_damping)
+
+    return jax.vmap(one)(q, qd, f)
+
+
+def _fd_aba_impl(robot, q, qd, f, include_gravity, use_damping):
+    def one(a, b, c):
+        return D.aba(robot, a, b, c, include_gravity, use_damping)
+
+    return jax.vmap(one)(q, qd, f)
+
+
+_fd_crb = jax.jit(_fd_crb_impl, static_argnames=("include_gravity", "use_damping"))
+_fd_aba = jax.jit(_fd_aba_impl, static_argnames=("include_gravity", "use_damping"))
+
+
+class DifferentiableRobotModel:
+    """Drop-in counterpart of reference DifferentiableRobotModel
+    (robot_model.py:87)."""
+
+    def __init__(self, urdf_path: str, name: str = "", dtype=jnp.float32):
+        self.name = name
+        self.urdf_path = urdf_path
+        self._struct = robot_struct_from_urdf(urdf_path, name=name, dtype=dtype)
+        self._dtype = dtype
+        self._learnables = LearnableSet(self._struct)
+
+    # -- struct / parameter plumbing ------------------------------------
+    @property
+    def struct(self) -> RobotStruct:
+        """The robot as a pytree of stacked arrays (with learnable overlays
+        applied from stored values)."""
+        return self._learnables.apply(None)
+
+    @property
+    def _n_dofs(self) -> int:  # reference-compatible attribute name
+        return self._struct.n_dofs
+
+    @property
+    def n_dofs(self) -> int:
+        return self._struct.n_dofs
+
+    def _resolved(self, params) -> RobotStruct:
+        return self._learnables.apply(params)
+
+    # -- input normalization (reference tensor_check, robot_model.py:25-84) --
+    def _norm(self, *arrays):
+        arrs = [jnp.asarray(a, self._dtype) for a in arrays]
+        batch_shape = arrs[0].shape[:-1]
+        for a in arrs:
+            assert a.shape[:-1] == batch_shape, "Batch size mismatch between inputs."
+        flat = [a.reshape((-1, a.shape[-1])) for a in arrs]
+        return flat, batch_shape
+
+    @staticmethod
+    def _denorm(x, batch_shape):
+        return x.reshape(batch_shape + x.shape[1:])
+
+    # -- kinematics ------------------------------------------------------
+    def update_kinematic_state(self, q, qd, params=None) -> KinematicState:
+        """Compute (stateless) world poses/velocities of all links.
+
+        Counterpart of reference update_kinematic_state
+        (robot_model.py:140-195), returning the state instead of mutating it.
+        """
+        (q2, qd2), bs = self._norm(q, qd)
+        ks = _kin_state(self._resolved(params), q2, qd2)
+        return KinematicState(*[self._denorm(x, bs) for x in ks])
+
+    def compute_forward_kinematics(
+        self, q, link_name: str, recursive: bool = False, params=None
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Translation and rotation (quaternion, (x,y,z,w)) of one link.
+
+        Counterpart of reference compute_forward_kinematics
+        (robot_model.py:224-248). `recursive` is accepted for API parity;
+        both paths are the same vectorized FK here.
+        """
+        del recursive
+        (q2,), bs = self._norm(q)
+        idx = self._struct.link_index(link_name)
+        pos, quat = _fk_all(self._resolved(params), q2)
+        return self._denorm(pos[:, idx], bs), self._denorm(quat[:, idx], bs)
+
+    def compute_forward_kinematics_all_links(
+        self, q, params=None
+    ) -> Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]:
+        """Counterpart of reference compute_forward_kinematics_all_links
+        (robot_model.py:198-221)."""
+        (q2,), bs = self._norm(q)
+        pos, quat = _fk_all(self._resolved(params), q2)
+        return {
+            ln: (self._denorm(pos[:, i], bs), self._denorm(quat[:, i], bs))
+            for i, ln in enumerate(self._struct.link_names)
+        }
+
+    def compute_endeffector_jacobian(
+        self, q, link_name: str, params=None
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Geometric Jacobian (linear, angular): [..., 3, D].
+
+        Counterpart of reference compute_endeffector_jacobian
+        (robot_model.py:627-667).
+        """
+        (q2,), bs = self._norm(q)
+        idx = self._struct.link_index(link_name)
+        lin, ang = _jacobian(self._resolved(params), q2, idx)
+        return self._denorm(lin, bs), self._denorm(ang, bs)
+
+    # -- dynamics --------------------------------------------------------
+    def compute_inverse_dynamics(
+        self, q, qd, qdd_des, include_gravity: bool = True, use_damping: bool = True,
+        params=None,
+    ) -> jnp.ndarray:
+        """RNEA torques. Counterpart of reference compute_inverse_dynamics
+        (robot_model.py:306-375)."""
+        (q2, qd2, qdd2), bs = self._norm(q, qd, qdd_des)
+        tau = _inverse_dynamics(
+            self._resolved(params), q2, qd2, qdd2, include_gravity, use_damping
+        )
+        return self._denorm(tau, bs)
+
+    def compute_non_linear_effects(
+        self, q, qd, include_gravity: bool = True, use_damping: bool = True, params=None
+    ) -> jnp.ndarray:
+        """Counterpart of reference compute_non_linear_effects
+        (robot_model.py:378-400)."""
+        zeros = jnp.zeros_like(jnp.asarray(q, self._dtype))
+        return self.compute_inverse_dynamics(
+            q, qd, zeros, include_gravity, use_damping, params=params
+        )
+
+    def compute_lagrangian_inertia_matrix(
+        self, q, include_gravity: bool = True, use_damping: bool = True, params=None
+    ) -> jnp.ndarray:
+        """Joint-space mass matrix H(q): [..., D, D].
+
+        Counterpart of reference compute_lagrangian_inertia_matrix
+        (robot_model.py:403-450). The flags are accepted for parity; H is
+        mathematically independent of gravity and damping (the reference
+        subtracts the gravity term it first adds, and the damping term
+        vanishes at qd=0), so they are unused here.
+        """
+        del include_gravity, use_damping
+        (q2,), bs = self._norm(q)
+        H = _mass_matrix(self._resolved(params), q2)
+        return self._denorm(H, bs)
+
+    def compute_forward_dynamics(
+        self,
+        q,
+        qd,
+        f,
+        include_gravity: bool = True,
+        use_damping: bool = False,
+        method: str = "crb",
+        params=None,
+    ) -> jnp.ndarray:
+        """Forward dynamics qdd from applied torques f.
+
+        Counterpart of reference compute_forward_dynamics (ABA,
+        robot_model.py:488-624). method="crb" uses the all-matmul mass-matrix
+        solve (fastest on TPU); method="aba" runs the O(L) articulated body
+        algorithm (reference-equivalent recursion).
+        """
+        (q2, qd2, f2), bs = self._norm(q, qd, f)
+        fn = _fd_crb if method == "crb" else _fd_aba
+        qdd = fn(self._resolved(params), q2, qd2, f2, include_gravity, use_damping)
+        return self._denorm(qdd, bs)
+
+    def compute_forward_dynamics_old(
+        self, q, qd, f, include_gravity: bool = True, use_damping: bool = True,
+        params=None,
+    ) -> jnp.ndarray:
+        """Euler-Lagrange solve parity alias (reference
+        robot_model.py:453-485; note its use_damping default is True)."""
+        return self.compute_forward_dynamics(
+            q, qd, f, include_gravity, use_damping, method="crb", params=params
+        )
+
+    # -- learnable parameters -------------------------------------------
+    def make_link_param_learnable(self, link_name: str, parameter_name: str, parametrization):
+        """Swap a physical constant for a constrained learnable parametrization.
+
+        Counterpart of reference make_link_param_learnable
+        (robot_model.py:682-689). `parametrization` is one of
+        models/parametrizations.py (pure-function analogues of the
+        reference's rigid_body_params.py modules).
+        """
+        self._learnables.register(link_name, parameter_name, parametrization)
+
+    def freeze_learnable_link_param(self, link_name: str, parameter_name: str):
+        """Counterpart of reference freeze_learnable_link_param
+        (robot_model.py:691-701)."""
+        self._learnables.freeze(link_name, parameter_name)
+
+    def unfreeze_learnable_link_param(self, link_name: str, parameter_name: str):
+        """Counterpart of reference unfreeze_learnable_link_param
+        (robot_model.py:703-713)."""
+        self._learnables.unfreeze(link_name, parameter_name)
+
+    def parameters(self) -> dict:
+        """Trainable (unfrozen) unconstrained parameters as a pytree."""
+        return self._learnables.parameters()
+
+    def set_parameters(self, params: dict) -> None:
+        """Store trained parameter values back into the model."""
+        self._learnables.set_parameters(params)
+
+    def print_learnable_params(self) -> None:
+        """Counterpart of reference print_learnable_params
+        (robot_model.py:747-754)."""
+        for key, val in jax.tree_util.tree_leaves_with_path(self.parameters()):
+            print(f"{jax.tree_util.keystr(key)}: {val}")
+
+    # -- misc ------------------------------------------------------------
+    def get_joint_limits(self) -> List[Dict[str, float]]:
+        """Counterpart of reference get_joint_limits (robot_model.py:715-724)."""
+        s = self._struct
+        return [
+            {
+                "lower": float(s.limit_lower[d]),
+                "upper": float(s.limit_upper[d]),
+                "effort": float(s.limit_effort[d]),
+                "velocity": float(s.limit_velocity[d]),
+            }
+            for d in range(s.n_dofs)
+        ]
+
+    def get_link_names(self) -> List[str]:
+        """Counterpart of reference get_link_names (robot_model.py:726-736)."""
+        return list(self._struct.link_names)
+
+    def print_link_names(self) -> None:
+        for n in self.get_link_names():
+            print(n)
+
+
+# ---------------------------------------------------------------------------
+# Named robots (reference robot_model.py:757-791; TrifingerEdu is exported
+# here unlike the reference, which defines but does not export it).
+# ---------------------------------------------------------------------------
+
+
+def _bundled(rel_path: str) -> str:
+    return os.path.join(robot_description_folder, rel_path)
+
+
+class DifferentiableKUKAiiwa(DifferentiableRobotModel):
+    def __init__(self, dtype=jnp.float32):
+        super().__init__(
+            _bundled("kuka_iiwa_iiwa7.urdf"), "differentiable_kuka_iiwa", dtype
+        )
+
+
+class DifferentiableFrankaPanda(DifferentiableRobotModel):
+    def __init__(self, dtype=jnp.float32):
+        super().__init__(
+            _bundled("panda_no_gripper.urdf"), "differentiable_franka_panda", dtype
+        )
+
+
+class DifferentiableTwoLinkRobot(DifferentiableRobotModel):
+    def __init__(self, dtype=jnp.float32):
+        super().__init__(_bundled("2link_robot.urdf"), "diff_2d_robot", dtype)
+
+
+class DifferentiableTrifingerEdu(DifferentiableRobotModel):
+    def __init__(self, dtype=jnp.float32):
+        super().__init__(_bundled("trifinger_edu.urdf"), "trifinger_edu", dtype)
+
+
+class DifferentiableAllegroHand(DifferentiableRobotModel):
+    def __init__(self, dtype=jnp.float32):
+        super().__init__(
+            _bundled("allegro_hand_left.urdf"), "differentiable_allegro_hand", dtype
+        )
+
+
+class DifferentiableFetchArm(DifferentiableRobotModel):
+    def __init__(self, dtype=jnp.float32):
+        super().__init__(
+            _bundled("fetch_arm_no_gripper.urdf"), "differentiable_fetch_arm", dtype
+        )
+
+
+class DifferentiableKinovaJaco(DifferentiableRobotModel):
+    def __init__(self, dtype=jnp.float32):
+        super().__init__(_bundled("kinova_jaco.urdf"), "differentiable_kinova_jaco", dtype)

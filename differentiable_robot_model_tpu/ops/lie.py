@@ -1,0 +1,307 @@
+"""Batched SO(3)/SE(3) Lie-group math, fully vectorized and branchless.
+
+TPU-native counterpart of the reference's rotation/Lie helpers
+(reference: differentiable_robot_model/spatial_vector_algebra.py:14-53 for the
+axis rotations, differentiable_robot_model/se3_so3_util.py for the log/exp maps,
+differentiable_robot_model/utils.py:21-70 for skew/cross helpers).
+
+Design notes (TPU-first):
+- Everything is shape-polymorphic over leading batch dims and dtype-generic —
+  no Python branching on values, so all functions trace cleanly under `jit`,
+  `vmap` and `grad`.
+- The quaternion extraction is branchless (4-candidate argmax select), fixing
+  the reference's per-sample Python loop
+  (reference: spatial_vector_algebra.py:116-135), which is O(batch) on host.
+- Small-angle singularities in the log/exp maps are handled with Taylor-series
+  switching via `jnp.where` on *both* operands (safe-where pattern) so the
+  gradients are finite everywhere.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_EPS = 1e-9
+
+
+def skew(v: jnp.ndarray) -> jnp.ndarray:
+    """Skew-symmetric matrix of a 3-vector; (..., 3) -> (..., 3, 3).
+
+    Matches reference utils.vector3_to_skew_symm_matrix (utils.py:40-54).
+    """
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    zero = jnp.zeros_like(x)
+    return jnp.stack(
+        [
+            jnp.stack([zero, -z, y], axis=-1),
+            jnp.stack([z, zero, -x], axis=-1),
+            jnp.stack([-y, x, zero], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def cross(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched cross product (reference utils.py:21-25)."""
+    return jnp.cross(a, b)
+
+
+def x_rot(angle: jnp.ndarray) -> jnp.ndarray:
+    """Rotation about +x; (...,) -> (..., 3, 3). Reference sva.py:14-25."""
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    o, z = jnp.ones_like(c), jnp.zeros_like(c)
+    return jnp.stack(
+        [
+            jnp.stack([o, z, z], axis=-1),
+            jnp.stack([z, c, -s], axis=-1),
+            jnp.stack([z, s, c], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def y_rot(angle: jnp.ndarray) -> jnp.ndarray:
+    """Rotation about +y; (...,) -> (..., 3, 3). Reference sva.py:28-39."""
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    o, z = jnp.ones_like(c), jnp.zeros_like(c)
+    return jnp.stack(
+        [
+            jnp.stack([c, z, s], axis=-1),
+            jnp.stack([z, o, z], axis=-1),
+            jnp.stack([-s, z, c], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def z_rot(angle: jnp.ndarray) -> jnp.ndarray:
+    """Rotation about +z; (...,) -> (..., 3, 3). Reference sva.py:42-53."""
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    o, z = jnp.ones_like(c), jnp.zeros_like(c)
+    return jnp.stack(
+        [
+            jnp.stack([c, -s, z], axis=-1),
+            jnp.stack([s, c, z], axis=-1),
+            jnp.stack([z, z, o], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def rpy_to_matrix(rpy: jnp.ndarray) -> jnp.ndarray:
+    """URDF roll-pitch-yaw to rotation matrix: R = Rz(yaw) Ry(pitch) Rx(roll).
+
+    Matches the reference's fixed_rotation construction
+    (reference: rigid_body.py:138-143).
+    (..., 3) -> (..., 3, 3).
+    """
+    roll, pitch, yaw = rpy[..., 0], rpy[..., 1], rpy[..., 2]
+    return z_rot(yaw) @ y_rot(pitch) @ x_rot(roll)
+
+
+def axis_angle_to_matrix(axis: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues formula for a *unit* axis; (...,3), (...,) -> (...,3,3).
+
+    Generalizes the reference's axis-aligned-only joint rotations
+    (reference: rigid_body.py:149-154 supports only +-x/+-y/+-z axes); this
+    supports arbitrary joint axes. Exact for axis-aligned axes.
+    """
+    c = jnp.cos(angle)[..., None, None]
+    s = jnp.sin(angle)[..., None, None]
+    K = skew(axis)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=axis.dtype), K.shape)
+    aaT = axis[..., :, None] * axis[..., None, :]
+    return c * eye + s * K + (1.0 - c) * aaT
+
+
+def exp_so3(omega: jnp.ndarray) -> jnp.ndarray:
+    """SO(3) exponential map; (..., 3) -> (..., 3, 3).
+
+    Branchless counterpart of reference utils.exp_map_so3 (utils.py:57-69) and
+    se3_so3_util.expMapso3 (se3_so3_util.py:167-181), with Taylor fallback for
+    small angles so gradients are well-defined at omega = 0.
+    """
+    theta_sq = jnp.sum(omega * omega, axis=-1)
+    theta = jnp.sqrt(theta_sq + _EPS**2)
+    small = theta_sq < _EPS
+    # sin(t)/t and (1-cos(t))/t^2 with Taylor-series fallbacks.
+    a = jnp.where(small, 1.0 - theta_sq / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta_sq / 24.0, (1.0 - jnp.cos(theta)) / (theta_sq + _EPS**2))
+    K = skew(omega)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=omega.dtype), K.shape)
+    return eye + a[..., None, None] * K + b[..., None, None] * (K @ K)
+
+
+def log_so3(R: jnp.ndarray) -> jnp.ndarray:
+    """SO(3) logarithm; (..., 3, 3) -> (..., 3).
+
+    Branchless counterpart of reference se3_so3_util.logMapSO3
+    (se3_so3_util.py:148-164). Valid for angles in [0, pi); near pi the
+    quaternion-based path keeps it stable.
+    """
+    # Stable via quaternion: always well conditioned away from 2*pi.
+    q = matrix_to_quaternion(R)  # (x, y, z, w)
+    v, w = q[..., :3], q[..., 3]
+    vn = jnp.linalg.norm(v, axis=-1)
+    # angle = 2*atan2(|v|, w); axis = v/|v|
+    angle = 2.0 * jnp.arctan2(vn, w)
+    small = vn < _EPS
+    scale = jnp.where(small, 2.0 / jnp.clip(w, _EPS, None), angle / jnp.where(small, 1.0, vn))
+    return v * scale[..., None]
+
+
+def matrix_to_quaternion(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix -> quaternion in (x, y, z, w) order, branchless.
+
+    Vectorized replacement for the reference's Shepperd-method per-sample
+    Python loop (reference: spatial_vector_algebra.py:108-136). Uses the
+    4-candidate formulation: computes the quaternion via each of the four
+    numerically-stable branches and selects the one keyed by the largest
+    diagonal combination. Output convention matches the reference ((x,y,z,w),
+    w-branch yields w >= 0).
+    """
+    r00, r01, r02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    r10, r11, r12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    r20, r21, r22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+
+    t_w = 1.0 + r00 + r11 + r22  # 4 w^2
+    t_x = 1.0 + r00 - r11 - r22  # 4 x^2
+    t_y = 1.0 - r00 + r11 - r22  # 4 y^2
+    t_z = 1.0 - r00 - r11 + r22  # 4 z^2
+
+    # Candidate quaternions (x, y, z, w), each un-normalized by 2*sqrt(t_i).
+    cand_w = jnp.stack([r21 - r12, r02 - r20, r10 - r01, t_w], axis=-1)
+    cand_x = jnp.stack([t_x, r01 + r10, r02 + r20, r21 - r12], axis=-1)
+    cand_y = jnp.stack([r10 + r01, t_y, r12 + r21, r02 - r20], axis=-1)
+    cand_z = jnp.stack([r20 + r02, r21 + r12, t_z, r10 - r01], axis=-1)
+
+    cands = jnp.stack([cand_w, cand_x, cand_y, cand_z], axis=-2)  # (..., 4, 4)
+    ts = jnp.stack([t_w, t_x, t_y, t_z], axis=-1)  # (..., 4)
+    denom = 2.0 * jnp.sqrt(jnp.clip(ts, _EPS, None))
+    cands = cands / denom[..., None]
+
+    idx = jnp.argmax(ts, axis=-1)
+    onehot = jax_onehot4(idx, cands.dtype)
+    return jnp.sum(cands * onehot[..., None], axis=-2)
+
+
+def jax_onehot4(idx: jnp.ndarray, dtype) -> jnp.ndarray:
+    """One-hot over the last axis of size 4 without 1D iota (TPU-safe)."""
+    iota = jnp.arange(4, dtype=jnp.int32)
+    return (idx[..., None] == iota).astype(dtype)
+
+
+def quaternion_to_matrix(q: jnp.ndarray) -> jnp.ndarray:
+    """Quaternion (x, y, z, w) -> rotation matrix; (..., 4) -> (..., 3, 3).
+
+    Counterpart of reference se3_so3_util.getRotMatFromQuat-style conversions
+    (se3_so3_util.py:31-58 work through axis-angle; this is direct).
+    """
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    return jnp.stack(
+        [
+            jnp.stack([1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)], axis=-1),
+            jnp.stack([2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)], axis=-1),
+            jnp.stack([2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def quaternion_to_axis_angle(q: jnp.ndarray) -> jnp.ndarray:
+    """Quaternion (x,y,z,w) -> rotation vector (axis*angle); (...,4)->(...,3).
+
+    Batched counterpart of reference se3_so3_util.getAxisAngleFromQuaternion
+    (se3_so3_util.py:44-58).
+    """
+    v, w = q[..., :3], q[..., 3]
+    vn = jnp.linalg.norm(v, axis=-1)
+    angle = 2.0 * jnp.arctan2(vn, w)
+    small = vn < _EPS
+    scale = jnp.where(small, 2.0, angle / jnp.where(small, 1.0, vn))
+    return v * scale[..., None]
+
+
+def axis_angle_to_quaternion(aa: jnp.ndarray) -> jnp.ndarray:
+    """Rotation vector -> quaternion (x,y,z,w); (...,3)->(...,4).
+
+    Batched counterpart of reference se3_so3_util.getQuaternionFromAxisAngle
+    (se3_so3_util.py:31-41).
+    """
+    angle = jnp.linalg.norm(aa, axis=-1)
+    half = 0.5 * angle
+    small = angle < _EPS
+    s = jnp.where(small, 0.5 - angle * angle / 48.0, jnp.sin(half) / jnp.where(small, 1.0, angle))
+    xyz = aa * s[..., None]
+    w = jnp.cos(half)
+    return jnp.concatenate([xyz, w[..., None]], axis=-1)
+
+
+def integrate_axis_angle(aa: jnp.ndarray, omega: jnp.ndarray, dt) -> jnp.ndarray:
+    """Integrate angular velocity onto an axis-angle orientation.
+
+    Batched counterpart of reference se3_so3_util.integrateAxisAngle
+    (se3_so3_util.py:15-20): R_new = exp(omega*dt) R(aa).
+    """
+    return log_so3(exp_so3(omega * dt) @ exp_so3(aa))
+
+
+def angular_error(R_des: jnp.ndarray, R_cur: jnp.ndarray) -> jnp.ndarray:
+    """Rotation error vector log(R_des R_cur^T).
+
+    Batched counterpart of reference se3_so3_util.computeAngularError
+    (se3_so3_util.py:23-28).
+    """
+    return log_so3(R_des @ jnp.swapaxes(R_cur, -1, -2))
+
+
+def exp_se3(xi: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """SE(3) exponential. xi = (v, omega) (..., 6) -> (R (...,3,3), t (...,3)).
+
+    Batched counterpart of reference se3_so3_util.expMapse3
+    (se3_so3_util.py:216-238), using the closed-form left Jacobian.
+    """
+    v, omega = xi[..., :3], xi[..., 3:]
+    R = exp_so3(omega)
+    theta_sq = jnp.sum(omega * omega, axis=-1)
+    theta = jnp.sqrt(theta_sq + _EPS**2)
+    small = theta_sq < _EPS
+    K = skew(omega)
+    b = jnp.where(small, 0.5 - theta_sq / 24.0, (1.0 - jnp.cos(theta)) / (theta_sq + _EPS**2))
+    c = jnp.where(
+        small,
+        1.0 / 6.0 - theta_sq / 120.0,
+        (theta - jnp.sin(theta)) / (theta_sq * theta + _EPS**3),
+    )
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), K.shape)
+    V = eye + b[..., None, None] * K + c[..., None, None] * (K @ K)
+    t = jnp.einsum("...ij,...j->...i", V, v)
+    return R, t
+
+
+def log_se3(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """SE(3) logarithm -> xi = (v, omega) (..., 6).
+
+    Batched counterpart of reference se3_so3_util.logMapSE3
+    (se3_so3_util.py:184-213).
+    """
+    omega = log_so3(R)
+    theta_sq = jnp.sum(omega * omega, axis=-1)
+    theta = jnp.sqrt(theta_sq + _EPS**2)
+    small = theta_sq < _EPS
+    K = skew(omega)
+    # V^{-1} = I - K/2 + (1/theta^2)(1 - theta sin/(2(1-cos))) K^2
+    half_theta = 0.5 * theta
+    cot_term = jnp.where(
+        small,
+        1.0 / 12.0 + theta_sq / 720.0,
+        (1.0 - half_theta * jnp.cos(half_theta) / jnp.sin(half_theta)) / (theta_sq + _EPS**2),
+    )
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), K.shape)
+    Vinv = eye - 0.5 * K + cot_term[..., None, None] * (K @ K)
+    v = jnp.einsum("...ij,...j->...i", Vinv, t)
+    return jnp.concatenate([v, omega], axis=-1)

@@ -1,0 +1,100 @@
+"""Batched differentiable rollouts (kinematic and dynamic).
+
+TPU-native counterpart of the reference's only "MPC-shaped" workload
+(reference: examples/run_kinematic_trajectory_opt.py:17-61, a sequential
+Python rollout loop with per-step clamping and FK). Here rollouts are
+`lax.scan` programs over the horizon, fully jittable and vmappable over
+scenario batches; the dynamic rollout integrates the forward dynamics with a
+semi-implicit Euler step (the reference has no dynamic rollout at all).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.structs import RobotStruct
+from ..ops import dynamics as D
+from ..ops import kinematics as K
+
+
+def clip_to_limits(robot: RobotStruct, q: jnp.ndarray) -> jnp.ndarray:
+    """Clamp joint positions to the URDF limits.
+
+    Mirrors the torch.where clamping of the reference's KinematicModel
+    (run_kinematic_trajectory_opt.py:33-42).
+    """
+    return jnp.clip(q, robot.limit_lower, robot.limit_upper)
+
+
+def kinematic_rollout(
+    robot: RobotStruct,
+    q0: jnp.ndarray,
+    actions: jnp.ndarray,
+    ee_link_idx: int,
+    stop_gradient_between_steps: bool = False,
+):
+    """Roll joint-position deltas through FK. Unbatched: q0 [D], actions [H, D].
+
+    Returns (ee_traj [H, 3], q_traj [H, D]) with the reference's indexing
+    (run_kinematic_trajectory_opt.py:49-61): entry 0 is the start state, then
+    H-1 action steps (the last action is unused, as in the reference).
+    `stop_gradient_between_steps=True` reproduces the reference's
+    `joint_state.detach()` (line 58): gradients reach each action only
+    through its own step's FK.
+    """
+
+    def ee_pos(q):
+        _, p = K.fk_world(robot, q)
+        return p[ee_link_idx]
+
+    q_start = clip_to_limits(robot, q0)
+
+    def step(q, u):
+        q_in = jax.lax.stop_gradient(q) if stop_gradient_between_steps else q
+        q_next = clip_to_limits(robot, q_in + u)
+        return q_next, (ee_pos(q_next), q_next)
+
+    _, (ee_tail, q_tail) = jax.lax.scan(step, q_start, actions[:-1])
+    ee_traj = jnp.concatenate([ee_pos(q_start)[None], ee_tail], axis=0)
+    q_traj = jnp.concatenate([q0[None], q_tail], axis=0)
+    return ee_traj, q_traj
+
+
+class DynRolloutResult(NamedTuple):
+    q: jnp.ndarray  # [H, D]
+    qd: jnp.ndarray  # [H, D]
+    ee: jnp.ndarray  # [H, 3]
+
+
+def dynamic_rollout(
+    robot: RobotStruct,
+    q0: jnp.ndarray,
+    qd0: jnp.ndarray,
+    taus: jnp.ndarray,
+    dt: float,
+    ee_link_idx: int,
+    include_gravity: bool = True,
+    use_damping: bool = True,
+) -> DynRolloutResult:
+    """Integrate applied torques through the forward dynamics (semi-implicit
+    Euler), recording joint states and end-effector positions.
+
+    Unbatched: q0, qd0 [D]; taus [H, D]. Beyond reference scope (its rollout
+    is kinematic only); this is the plant model for torque-space MPC.
+    """
+
+    def step(carry, tau):
+        q, qd = carry
+        qdd = D.forward_dynamics_crb(
+            robot, q, qd, tau, include_gravity=include_gravity, use_damping=use_damping
+        )
+        qd_next = qd + dt * qdd
+        q_next = q + dt * qd_next
+        _, p = K.fk_world(robot, q_next)
+        return (q_next, qd_next), (q_next, qd_next, p[ee_link_idx])
+
+    _, (qs, qds, ees) = jax.lax.scan(step, (q0, qd0), taus)
+    return DynRolloutResult(qs, qds, ees)

