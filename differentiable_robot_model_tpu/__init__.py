@@ -13,6 +13,18 @@ extensions (functional ops, learnable overlays, trajectory optimization,
 sharded solvers).
 """
 
+import os as _os
+
+import jax as _jax
+
+# Rigid-body dynamics needs true float32 matmuls: on TPU, jax's default
+# matmul precision feeds bfloat16 into the MXU, which amplifies to ~1e-1
+# control-sequence error through an MPC solve (vs the 1e-3 parity target).
+# The dynamics matmuls are tiny (3x3 / 6x6 / LxL), so full precision costs
+# little. Opt out with DRM_TPU_KEEP_DEFAULT_MATMUL_PRECISION=1.
+if not _os.environ.get("DRM_TPU_KEEP_DEFAULT_MATMUL_PRECISION"):
+    _jax.config.update("jax_default_matmul_precision", "float32")
+
 from .models.robot import (
     DifferentiableRobotModel,
     DifferentiableKUKAiiwa,

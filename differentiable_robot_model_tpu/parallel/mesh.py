@@ -1,0 +1,103 @@
+"""Device-mesh scaling: sharded MPC solves and data-parallel training.
+
+The reference is strictly single-process/single-device (SURVEY.md §2: no
+torch.distributed, no parallelism beyond a leading batch dim). This module is
+the TPU-native scaling layer it lacks, built the JAX way: pick a Mesh,
+annotate shardings, let XLA insert collectives.
+
+Sharding layout:
+- `scenario` axis: embarrassingly-parallel MPC scenario batches and training
+  minibatches shard over all chips (DCN-friendly across hosts; within a host
+  the axis rides ICI). Solves need no cross-chip communication at all.
+- Training gradients: expressed with `shard_map` + `psum` over the scenario
+  axis — the all-reduce maps onto ICI rings within a slice.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+SCENARIO_AXIS = "scenario"
+
+
+def make_mesh(devices=None, axis_name: str = SCENARIO_AXIS) -> Mesh:
+    """1-D mesh over all (or the given) devices for scenario/data parallelism."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def shard_scenarios(mesh: Mesh, tree, axis_name: str = SCENARIO_AXIS):
+    """Place each array's leading axis across the mesh."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def replicate(mesh: Mesh, tree):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def sharded_batch_solver(
+    mesh: Mesh, solve_one: Callable, axis_name: str = SCENARIO_AXIS
+):
+    """Compile `solve_one(scenario_pytree) -> result` into a mesh-sharded
+    batched solver.
+
+    The returned function takes scenario arrays with a leading batch axis
+    sharded over the mesh and runs vmap(solve_one) with inputs/outputs pinned
+    to the scenario sharding — XLA partitions the whole solve with zero
+    communication (each chip owns B/n_devices scenarios).
+    """
+    batched = jax.vmap(solve_one)
+    in_shard = NamedSharding(mesh, P(axis_name))
+
+    def run(scenarios):
+        scenarios = jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(x, in_shard), scenarios
+        )
+        return batched(scenarios)
+
+    return jax.jit(run)
+
+
+def make_data_parallel_train_step(
+    mesh: Mesh,
+    loss_fn: Callable,  # loss_fn(params, batch) -> scalar
+    optimizer,
+    axis_name: str = SCENARIO_AXIS,
+):
+    """Data-parallel training step: per-shard grads + psum all-reduce.
+
+    The reference's training loops are single-device Adam
+    (e.g. examples/learn_dynamics_iiwa.py:81-94); this is the multi-chip
+    equivalent. Parameters are replicated; the batch shards over the mesh;
+    gradients all-reduce with `jax.lax.pmean` inside `shard_map` (ICI
+    collective within a slice).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    def step(params, opt_state, batch):
+        def shard_step(params, batch):
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+            return loss, grads
+
+        loss, grads = shard_map(
+            shard_step,
+            mesh=mesh,
+            in_specs=(P(), P(axis_name)),
+            out_specs=(P(), P()),
+        )(params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        import optax
+
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step)
