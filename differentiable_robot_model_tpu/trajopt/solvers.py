@@ -59,7 +59,11 @@ def solve_kinematic_adam(
         if init_actions is not None
         else jnp.zeros((horizon, D), robot.dtype)
     )
-    opt = optax.adam(lr)
+    # eps_root keeps the solve differentiable *end-to-end*: d/dg sqrt(g^2) is
+    # NaN at g=0 (e.g. the never-used last action's gradient), which would
+    # poison second-order gradients through the solver (the
+    # identification-through-MPC path).
+    opt = optax.adam(lr, eps_root=1e-8)
 
     def cost_fn(actions):
         ee_traj, _ = kinematic_rollout(
@@ -137,7 +141,7 @@ def ilqr(
     c_uu = jax.vmap(jax.hessian(cost, argnums=1))
     c_ux = jax.vmap(jax.jacobian(jax.grad(cost, argnums=1), argnums=0))
 
-    def backward_pass(xs, us):
+    def backward_pass(xs, us, lam):
         A = f_x(xs[:-1], us)  # [H, n, n]
         B = f_u(xs[:-1], us)  # [H, n, m]
         lx = c_x(xs[:-1], us)
@@ -155,7 +159,7 @@ def ilqr(
             Qx = lx_t + A_t.T @ Vx
             Qu = lu_t + B_t.T @ Vx
             Qxx = lxx_t + A_t.T @ Vxx @ A_t
-            Quu = luu_t + B_t.T @ Vxx @ B_t + reg * jnp.eye(m, dtype=us.dtype)
+            Quu = luu_t + B_t.T @ Vxx @ B_t + lam * jnp.eye(m, dtype=us.dtype)
             Qux = lux_t + B_t.T @ Vxx @ A_t
             chol = jax.scipy.linalg.cho_factor(Quu)
             k = -jax.scipy.linalg.cho_solve(chol, Qu)
@@ -184,21 +188,28 @@ def ilqr(
     alphas = jnp.asarray(line_search_alphas, us_init.dtype)
 
     def iteration(carry, _):
-        xs, us, best_cost = carry
-        ks, Ks = backward_pass(xs, us)
+        xs, us, best_cost, lam = carry
+        ks, Ks = backward_pass(xs, us, lam)
         xs_c, us_c, costs_c = jax.vmap(
             lambda a: forward_pass(xs, us, ks, Ks, a)
         )(alphas)
+        costs_c = jnp.where(jnp.isnan(costs_c), jnp.inf, costs_c)
         best = jnp.argmin(costs_c)
         improved = costs_c[best] < best_cost
         xs = jnp.where(improved, xs_c[best], xs)
         us = jnp.where(improved, us_c[best], us)
         new_cost = jnp.where(improved, costs_c[best], best_cost)
-        return (xs, us, new_cost), new_cost
+        # Levenberg-Marquardt-style trust region: indefinite value Hessians
+        # make the unregularized Newton step useless far from the optimum;
+        # grow lam on rejection (-> gradient-like steps), shrink on success.
+        lam = jnp.where(improved, jnp.maximum(lam * 0.5, reg), jnp.minimum(lam * 10.0, 1e8))
+        return (xs, us, new_cost, lam), new_cost
 
     xs0 = _rollout(dynamics, x0, us_init)
     cost0 = _total_cost(cost, final_cost, xs0, us_init)
-    (xs, us, final), history = jax.lax.scan(
-        iteration, (xs0, us_init, cost0), None, length=n_iters
+    lam0 = jnp.asarray(max(reg, 1e-3), us_init.dtype)
+    (xs, us, final, _), history = jax.lax.scan(
+        iteration, (xs0, us_init, cost0, lam0), None, length=n_iters
     )
-    return ILQRResult(xs, us, final, history)
+    # history[0] is the cost *before* any iteration; history[i] after i iters.
+    return ILQRResult(xs, us, final, jnp.concatenate([cost0[None], history]))

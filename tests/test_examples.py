@@ -1,0 +1,56 @@
+"""Example regression tests (smoke + loss-decrease assertions).
+
+Counterpart of reference tests/test_examples.py (35 LoC), which runs each
+learn_* example with run(n_epochs=2, n_data=250); here we additionally
+assert the loss actually decreases (the reference only smoke-tests).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from examples import (  # noqa: E402
+    learn_dynamics_iiwa,
+    learn_forward_dynamics_iiwa,
+    learn_kinematics_of_iiwa,
+    learn_kinematics_of_toy,
+)
+
+
+@pytest.mark.parametrize(
+    "example",
+    [
+        learn_kinematics_of_toy,
+        learn_kinematics_of_iiwa,
+    ],
+)
+def test_kinematics_examples(example):
+    losses = example.run(n_epochs=50, n_data=250)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+@pytest.mark.parametrize(
+    "example",
+    [
+        learn_dynamics_iiwa,
+        learn_forward_dynamics_iiwa,
+    ],
+)
+def test_dynamics_examples(example):
+    losses = example.run(n_epochs=2, n_data=250)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_kinematic_trajectory_opt():
+    from examples import run_kinematic_trajectory_opt as opt
+
+    result = opt.run(n_iters=30, playback=True)
+    hist = np.asarray(result.cost_history)
+    assert np.isfinite(hist).all()
+    assert hist[-1] < hist[0]

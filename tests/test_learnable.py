@@ -1,0 +1,153 @@
+"""Learnable parametrizations + overlay system.
+
+Covers the reference's rigid_body_params.py behaviors: init-from-value
+reconstruction (SVD/Cholesky/triangle decompositions), constraint
+satisfaction from random init, and the make/freeze/unfreeze plumbing
+(reference robot_model.py:682-713).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from differentiable_robot_model_tpu import DifferentiableKUKAiiwa
+from differentiable_robot_model_tpu.models.parametrizations import (
+    CovParameterized3DInertiaMatrix,
+    PositiveScalar,
+    Symm3DInertiaMatrix,
+    SymmPosDef3DInertiaMatrix,
+    TriangParam3DInertiaMatrix,
+    UnconstrainedScalar,
+    UnconstrainedTensor,
+)
+
+# A realistic physical inertia (SPD, triangle inequality satisfied).
+SAMPLE_INERTIA = np.array(
+    [[0.05, 0.001, 0.002], [0.001, 0.06, 0.003], [0.002, 0.003, 0.03]]
+)
+
+
+class TestParametrizations:
+    def test_positive_scalar_roundtrip(self):
+        p = PositiveScalar(min_val=0.1, init_param=2.5)
+        assert np.allclose(float(p.apply(p.init_value())), 2.5, atol=1e-12)
+
+    def test_positive_scalar_constraint_random(self):
+        for seed in range(5):
+            p = PositiveScalar(min_val=0.2, rng=np.random.default_rng(seed))
+            assert float(p.apply(p.init_value())) >= 0.2
+
+    def test_unconstrained_roundtrip(self):
+        t = UnconstrainedTensor((3, 3), init_tensor=SAMPLE_INERTIA)
+        assert np.allclose(np.asarray(t.apply(t.init_value())), SAMPLE_INERTIA)
+        s = UnconstrainedScalar(init_val=1.25)
+        assert float(s.apply(s.init_value())) == 1.25
+
+    @pytest.mark.parametrize(
+        "cls",
+        [Symm3DInertiaMatrix, SymmPosDef3DInertiaMatrix, CovParameterized3DInertiaMatrix],
+    )
+    def test_matrix_roundtrip(self, cls):
+        p = cls(init_param=SAMPLE_INERTIA)
+        M = np.asarray(p.apply(p.init_value()))
+        assert np.allclose(M, SAMPLE_INERTIA, atol=1e-8)
+
+    def test_triang_roundtrip(self):
+        p = TriangParam3DInertiaMatrix(bias=1e-4, init_param=SAMPLE_INERTIA)
+        M = np.asarray(p.apply(jax.tree_util.tree_map(jnp.asarray, p.init_value())))
+        assert np.allclose(M, SAMPLE_INERTIA, atol=1e-7)
+
+    @pytest.mark.parametrize(
+        "cls,check",
+        [
+            (Symm3DInertiaMatrix, "symm"),
+            (SymmPosDef3DInertiaMatrix, "spd"),
+            (CovParameterized3DInertiaMatrix, "physical"),
+        ],
+    )
+    def test_constraints_from_random_init(self, cls, check):
+        for seed in range(5):
+            p = cls(rng=np.random.default_rng(seed))
+            M = np.asarray(p.apply(p.init_value()), dtype=np.float64)
+            assert np.allclose(M, M.T, atol=1e-8)
+            if check == "spd":
+                assert (np.linalg.eigvalsh(M) > 0).all()
+            if check == "physical":
+                # density-realizability: principal moments satisfy the
+                # triangle inequality (covariance eigenvalues >= 0)
+                lams = np.sort(np.linalg.eigvalsh(M))
+                assert lams[0] + lams[1] >= lams[2] - 1e-9
+
+    def test_triang_constraint_from_random_init(self):
+        for seed in range(5):
+            p = TriangParam3DInertiaMatrix(bias=1e-3, rng=np.random.default_rng(seed))
+            M = np.asarray(
+                p.apply(jax.tree_util.tree_map(jnp.asarray, p.init_value())),
+                dtype=np.float64,
+            )
+            lams = np.sort(np.linalg.eigvalsh(M))
+            assert (lams > 0).all()
+            assert lams[0] + lams[1] >= lams[2] - 1e-9
+
+
+class TestLearnableOverlay:
+    def test_overlay_changes_outputs_and_grads_flow(self):
+        model = DifferentiableKUKAiiwa()
+        model.make_link_param_learnable(
+            "iiwa_link_3", "mass", PositiveScalar(init_param=5.0)
+        )
+        params = model.parameters()
+        q = np.zeros(7)
+        qd = np.ones(7) * 0.1
+        qdd = np.ones(7) * 0.1
+        tau = model.compute_inverse_dynamics(q, qd, qdd, params=params)
+
+        def loss(p):
+            t = model.compute_inverse_dynamics(q, qd, qdd, params=p)
+            return jnp.sum(t**2)
+
+        g = jax.grad(loss)(params)
+        assert np.isfinite(float(g["iiwa_link_3.mass"]))
+        assert abs(float(g["iiwa_link_3.mass"])) > 0
+
+    def test_overlay_identity_when_init_from_true_value(self):
+        model = DifferentiableKUKAiiwa()
+        base_struct = model.struct
+        l = base_struct.link_index("iiwa_link_3")
+        true_mass = float(base_struct.mass[l])
+        model.make_link_param_learnable(
+            "iiwa_link_3", "mass", PositiveScalar(init_param=true_mass)
+        )
+        q = np.linspace(-0.5, 0.5, 7)
+        tau0 = DifferentiableKUKAiiwa().compute_inverse_dynamics(q, q, q)
+        tau1 = model.compute_inverse_dynamics(q, q, q, params=model.parameters())
+        assert np.allclose(np.asarray(tau0), np.asarray(tau1), atol=1e-6)
+
+    def test_freeze_unfreeze(self):
+        model = DifferentiableKUKAiiwa()
+        model.make_link_param_learnable("iiwa_link_3", "mass", PositiveScalar(init_param=2.0))
+        model.make_link_param_learnable(
+            "iiwa_link_4", "com", UnconstrainedTensor((3,), init_std=0.01)
+        )
+        assert set(model.parameters()) == {"iiwa_link_3.mass", "iiwa_link_4.com"}
+        model.freeze_learnable_link_param("iiwa_link_3", "mass")
+        assert set(model.parameters()) == {"iiwa_link_4.com"}
+        model.unfreeze_learnable_link_param("iiwa_link_3", "mass")
+        assert set(model.parameters()) == {"iiwa_link_3.mass", "iiwa_link_4.com"}
+
+    def test_joint_damping_learnable(self):
+        model = DifferentiableKUKAiiwa()
+        model.make_link_param_learnable(
+            "iiwa_link_2", "joint_damping", PositiveScalar(init_param=0.7)
+        )
+        s = model.struct
+        d = s.dof_links.index(s.link_index("iiwa_link_2"))
+        assert np.allclose(float(s.damping[d]), 0.7, atol=1e-7)
+
+    def test_invalid_registrations(self):
+        model = DifferentiableKUKAiiwa()
+        with pytest.raises(AttributeError):
+            model.make_link_param_learnable("iiwa_link_3", "bogus", PositiveScalar())
+        with pytest.raises(KeyError):
+            model.make_link_param_learnable("no_link", "mass", PositiveScalar())

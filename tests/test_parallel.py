@@ -1,0 +1,119 @@
+"""Multi-device sharding on the 8-virtual-device CPU mesh.
+
+The reference has no distributed tests at all (SURVEY.md §4); these validate
+the scaling layer: sharded solves match unsharded results exactly, and the
+data-parallel training step matches single-device training.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import optax
+
+from differentiable_robot_model_tpu import DifferentiableKUKAiiwa
+from differentiable_robot_model_tpu.parallel.mesh import (
+    make_data_parallel_train_step,
+    make_mesh,
+    replicate,
+    shard_scenarios,
+    sharded_batch_solver,
+)
+from differentiable_robot_model_tpu.models.parametrizations import PositiveScalar
+from differentiable_robot_model_tpu.trajopt.solvers import solve_kinematic_adam
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 virtual devices"
+    return make_mesh(jax.devices()[:8])
+
+
+@pytest.fixture(scope="module")
+def iiwa():
+    return DifferentiableKUKAiiwa()
+
+
+def test_mesh_has_8_devices(mesh):
+    assert mesh.devices.size == 8
+
+
+def test_sharded_solver_matches_unsharded(mesh, iiwa):
+    struct = iiwa.struct
+    ee = struct.link_index("iiwa_link_ee")
+    B = 16
+    rng = np.random.default_rng(0)
+    q0 = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 7)), jnp.float32)
+    goal = jnp.asarray(rng.uniform(0.2, 0.6, (B, 3)), jnp.float32)
+
+    def solve_one(sc):
+        return solve_kinematic_adam(
+            struct, sc["q0"], sc["goal"], ee, horizon=5, n_iters=5
+        ).actions
+
+    sharded = sharded_batch_solver(mesh, solve_one)
+    out_sharded = sharded(shard_scenarios(mesh, {"q0": q0, "goal": goal}))
+    out_local = jax.vmap(lambda a, b: solve_one({"q0": a, "goal": b}))(q0, goal)
+    assert np.allclose(np.asarray(out_sharded), np.asarray(out_local), atol=1e-6)
+    # outputs actually carry the mesh sharding
+    shard_devs = {d for d in out_sharded.sharding.device_set}
+    assert len(shard_devs) == 8
+
+
+def test_data_parallel_train_step_matches_single_device(mesh, iiwa):
+    iiwa_l = DifferentiableKUKAiiwa()
+    iiwa_l.make_link_param_learnable("iiwa_link_3", "mass", PositiveScalar(init_param=2.0))
+    params = iiwa_l.parameters()
+
+    B = 32
+    rng = np.random.default_rng(1)
+    batch = {
+        "q": jnp.asarray(rng.normal(size=(B, 7)), jnp.float32),
+        "qd": jnp.asarray(rng.normal(size=(B, 7)), jnp.float32),
+        "qdd": jnp.asarray(rng.normal(size=(B, 7)), jnp.float32),
+        "tau": jnp.asarray(rng.normal(size=(B, 7)), jnp.float32),
+    }
+
+    def loss_fn(params, batch):
+        pred = iiwa_l.compute_inverse_dynamics(
+            batch["q"], batch["qd"], batch["qdd"], params=params
+        )
+        return jnp.mean((pred - batch["tau"]) ** 2)
+
+    opt = optax.adam(1e-2)
+    train = make_data_parallel_train_step(mesh, loss_fn, opt)
+    p_sharded, _, loss_sharded = train(
+        replicate(mesh, params), opt.init(params), shard_scenarios(mesh, batch)
+    )
+
+    # single-device baseline
+    def single_step(params, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        upd, _ = opt.update(grads, opt.init(params))
+        return optax.apply_updates(params, upd), loss
+
+    p_single, loss_single = jax.jit(single_step)(params, batch)
+    assert np.allclose(float(loss_sharded), float(loss_single), rtol=1e-6)
+    for k in params:
+        assert np.allclose(
+            np.asarray(p_sharded[k]), np.asarray(p_single[k]), rtol=1e-5, atol=1e-7
+        )
+
+
+def test_grad_through_sharded_solve(mesh, iiwa):
+    """Differentiability survives sharding: grad of solve cost w.r.t. goals."""
+    struct = iiwa.struct
+    ee = struct.link_index("iiwa_link_ee")
+    B = 8
+    q0 = jnp.zeros((B, 7), jnp.float32)
+    goal = jnp.full((B, 3), 0.4, jnp.float32)
+
+    def mean_cost(goals):
+        def solve_one(q0_i, g):
+            return solve_kinematic_adam(struct, q0_i, g, ee, horizon=3, n_iters=2).cost
+
+        return jnp.mean(jax.vmap(solve_one)(q0, goals))
+
+    g = jax.jit(jax.grad(mean_cost))(shard_scenarios(mesh, goal))
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
