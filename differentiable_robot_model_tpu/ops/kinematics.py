@@ -100,6 +100,111 @@ def fk_world(robot: RobotStruct, q: jnp.ndarray, sequential: bool = False):
     return fk_compose_doubling(robot, R_loc, t_loc)
 
 
+def fk_link_position(robot: RobotStruct, q: jnp.ndarray, link_idx: int) -> jnp.ndarray:
+    """World position of one link via scalar-expanded chain FK (VPU-friendly).
+
+    TPU rationale: the generic FK works on [L, 3, 3] stacks whose tiny
+    matmuls force layout shuffles; for cost functions that only need one
+    link's position (rollout end-effector tracking), this path walks the
+    static ancestor chain with the rotation entries as nine explicit scalars,
+    so under `vmap` every operation is a fused elementwise [B] op — no
+    matmuls, no gathers, no layout churn.
+
+    Same math as reference robot_model.py:224-248 restricted to one chain.
+    """
+    import numpy as np_  # static topology only
+
+    # Static ancestor chain root -> link_idx (excluding root link 0).
+    chain = []
+    l = link_idx
+    while l != 0:
+        chain.append(l)
+        l = robot.parent[l]
+    chain = chain[::-1]
+
+    q_link = robot.dof_select @ q  # [L]
+    dtype = q_link.dtype
+    one = jnp.ones((), dtype)
+    zero = jnp.zeros((), dtype)
+
+    # World rotation as 9 scalars, world position as 3 scalars.
+    Rw = (one, zero, zero, zero, one, zero, zero, zero, one)
+    pw = (zero, zero, zero)
+
+    for l in chain:
+        # Local rotation R_loc = R_rpy(rot_angles) @ R_axis(axis, q) and
+        # translation t_loc = trans (+ prismatic sliding), all as scalars.
+        roll, pitch, yaw = (
+            robot.rot_angles[l, 0],
+            robot.rot_angles[l, 1],
+            robot.rot_angles[l, 2],
+        )
+        cr, sr = jnp.cos(roll), jnp.sin(roll)
+        cp, sp = jnp.cos(pitch), jnp.sin(pitch)
+        cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+        # R_rpy = Rz(yaw) Ry(pitch) Rx(roll), expanded.
+        f00 = cy * cp
+        f01 = cy * sp * sr - sy * cr
+        f02 = cy * sp * cr + sy * sr
+        f10 = sy * cp
+        f11 = sy * sp * sr + cy * cr
+        f12 = sy * sp * cr - cy * sr
+        f20 = -sp
+        f21 = cp * sr
+        f22 = cp * cr
+
+        ax, ay, az = robot.axis[l, 0], robot.axis[l, 1], robot.axis[l, 2]
+        th = q_link[l] * robot.rev_mask[l]
+        c, s = jnp.cos(th), jnp.sin(th)
+        C = one - c
+        # Rodrigues, expanded.
+        j00 = c + ax * ax * C
+        j01 = ax * ay * C - az * s
+        j02 = ax * az * C + ay * s
+        j10 = ay * ax * C + az * s
+        j11 = c + ay * ay * C
+        j12 = ay * az * C - ax * s
+        j20 = az * ax * C - ay * s
+        j21 = az * ay * C + ax * s
+        j22 = c + az * az * C
+
+        # R_loc = R_rpy @ R_axis
+        r00 = f00 * j00 + f01 * j10 + f02 * j20
+        r01 = f00 * j01 + f01 * j11 + f02 * j21
+        r02 = f00 * j02 + f01 * j12 + f02 * j22
+        r10 = f10 * j00 + f11 * j10 + f12 * j20
+        r11 = f10 * j01 + f11 * j11 + f12 * j21
+        r12 = f10 * j02 + f11 * j12 + f12 * j22
+        r20 = f20 * j00 + f21 * j10 + f22 * j20
+        r21 = f20 * j01 + f21 * j11 + f22 * j21
+        r22 = f20 * j02 + f21 * j12 + f22 * j22
+
+        d = q_link[l] * robot.prism_mask[l]
+        t0 = robot.trans[l, 0] + (f00 * ax + f01 * ay + f02 * az) * d
+        t1 = robot.trans[l, 1] + (f10 * ax + f11 * ay + f12 * az) * d
+        t2 = robot.trans[l, 2] + (f20 * ax + f21 * ay + f22 * az) * d
+
+        w00, w01, w02, w10, w11, w12, w20, w21, w22 = Rw
+        pw = (
+            pw[0] + w00 * t0 + w01 * t1 + w02 * t2,
+            pw[1] + w10 * t0 + w11 * t1 + w12 * t2,
+            pw[2] + w20 * t0 + w21 * t1 + w22 * t2,
+        )
+        Rw = (
+            w00 * r00 + w01 * r10 + w02 * r20,
+            w00 * r01 + w01 * r11 + w02 * r21,
+            w00 * r02 + w01 * r12 + w02 * r22,
+            w10 * r00 + w11 * r10 + w12 * r20,
+            w10 * r01 + w11 * r11 + w12 * r21,
+            w10 * r02 + w11 * r12 + w12 * r22,
+            w20 * r00 + w21 * r10 + w22 * r20,
+            w20 * r01 + w21 * r11 + w22 * r21,
+            w20 * r02 + w21 * r12 + w22 * r22,
+        )
+
+    return jnp.stack(pw)
+
+
 def world_joint_subspaces(robot: RobotStruct, R: jnp.ndarray, p: jnp.ndarray):
     """World-frame joint motion subspaces, one spatial vector per link.
 

@@ -46,19 +46,20 @@ def kinematic_rollout(
     through its own step's FK.
     """
 
-    def ee_pos(q):
-        _, p = K.fk_world(robot, q)
-        return p[ee_link_idx]
-
     q_start = clip_to_limits(robot, q0)
 
     def step(q, u):
         q_in = jax.lax.stop_gradient(q) if stop_gradient_between_steps else q
         q_next = clip_to_limits(robot, q_in + u)
-        return q_next, (ee_pos(q_next), q_next)
+        return q_next, q_next
 
-    _, (ee_tail, q_tail) = jax.lax.scan(step, q_start, actions[:-1])
-    ee_traj = jnp.concatenate([ee_pos(q_start)[None], ee_tail], axis=0)
+    _, q_tail = jax.lax.scan(step, q_start, actions[:-1])
+    q_clipped = jnp.concatenate([q_start[None], q_tail], axis=0)  # [H, D]
+
+    # The integration scan above is the only stateful part (tiny [D] adds);
+    # the end-effector chain is evaluated with the scalar-expanded FK (pure
+    # elementwise ops that fuse on the VPU) over all H configurations.
+    ee_traj = jax.vmap(lambda q: K.fk_link_position(robot, q, ee_link_idx))(q_clipped)
     q_traj = jnp.concatenate([q0[None], q_tail], axis=0)
     return ee_traj, q_traj
 

@@ -218,6 +218,19 @@ class TestConsistency:
             )
             assert np.allclose(np.asarray(lin), np.asarray(jac_pos), atol=1e-8)
 
+    def test_scalar_chain_fk_matches_generic(self, robot_fixture):
+        """fk_link_position (scalar-expanded VPU path) == fk_world gather."""
+        from differentiable_robot_model_tpu.ops import kinematics as K
+
+        rid, model, ee_links = robot_fixture
+        struct = model.struct
+        q, _, _ = sample_state(model, ())
+        for ee in ee_links:
+            idx = struct.link_index(ee)
+            p_scalar = K.fk_link_position(struct, jnp.asarray(q), idx)
+            p_generic = K.fk_world(struct, jnp.asarray(q))[1][idx]
+            assert np.allclose(np.asarray(p_scalar), np.asarray(p_generic), atol=1e-12)
+
     def test_nle_is_id_at_zero_qdd(self, robot_fixture):
         rid, model, _ = robot_fixture
         q, qd, _ = sample_state(model, (2,))
