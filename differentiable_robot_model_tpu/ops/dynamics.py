@@ -173,11 +173,18 @@ def forward_dynamics_crb(
 
 
 def jax_sym_solve(H: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
-    """Solve H x = rhs for symmetric positive-definite H via Cholesky."""
+    """Solve H x = rhs for symmetric positive-definite H via Cholesky.
+
+    Sub-float32 inputs (bfloat16 models) are upcast for the factorization —
+    a bf16 Cholesky would be numerically meaningless (and is unsupported by
+    the CPU backend) — and the solution is cast back.
+    """
     import jax.scipy.linalg as jsl
 
-    chol = jsl.cho_factor(H, lower=True)
-    return jsl.cho_solve(chol, rhs)
+    dtype = H.dtype
+    compute_dtype = jnp.promote_types(dtype, jnp.float32)
+    chol = jsl.cho_factor(H.astype(compute_dtype), lower=True)
+    return jsl.cho_solve(chol, rhs.astype(compute_dtype)).astype(dtype)
 
 
 def aba(

@@ -1,0 +1,120 @@
+"""Receding-horizon MPC: warm-started replanning as one jitted step.
+
+No reference analog (the reference stops at open-loop trajectory
+optimization, examples/run_kinematic_trajectory_opt.py); this is the
+closed-loop layer of the north-star workload (BASELINE.json: iiwa MPC H=50,
+B=4096 scenarios, 1 kHz-class replanning budget).
+
+Design: an MPC *step* = (solve with warm start) + (execute first action) +
+(shift the plan) — one jitted, vmappable function; a fleet of B scenarios
+replans in a single device program and shards over the scenario mesh axis
+(parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.structs import RobotStruct
+from .rollout import clip_to_limits, kinematic_rollout
+from .solvers import solve_kinematic_adam
+
+
+@dataclasses.dataclass(frozen=True)
+class MPCConfig:
+    """The framework's (small) config system — SURVEY.md §5 calls for a plain
+    dataclass of robot/horizon/batch/solver knobs rather than a config
+    framework (the reference's hydra dependency is vestigial)."""
+
+    horizon: int = 50
+    iters_per_step: int = 10
+    lr: float = 0.05
+    goal_weight: float = 100.0
+    replan_interval: int = 1  # execute this many actions per replan
+
+
+class MPCState(NamedTuple):
+    q: jnp.ndarray  # [D] current joint position
+    plan: jnp.ndarray  # [H, D] warm-start action sequence
+    step_count: jnp.ndarray  # []
+
+
+class MPCMetrics(NamedTuple):
+    """Structured per-step observability (SURVEY.md §5: metrics returned as
+    arrays from the jitted solve; no host-side logging in the hot loop)."""
+
+    cost: jnp.ndarray  # [] final solve cost
+    cost_initial: jnp.ndarray  # [] cost before this replan's iterations
+    goal_distance: jnp.ndarray  # [] current ee distance to goal
+    plan_norm: jnp.ndarray  # [] action-plan magnitude
+
+
+def mpc_init(robot: RobotStruct, q0: jnp.ndarray, config: MPCConfig) -> MPCState:
+    plan = jnp.zeros((config.horizon, robot.n_dofs), robot.dtype)
+    return MPCState(jnp.asarray(q0, robot.dtype), plan, jnp.zeros((), jnp.int32))
+
+
+def make_mpc_step(robot: RobotStruct, ee_link_idx: int, config: MPCConfig):
+    """Build the jitted MPC step: (state, goal) -> (state', metrics).
+
+    The returned function is pure and vmappable over scenario batches.
+    """
+    from ..ops import kinematics as K
+
+    def step(state: MPCState, goal: jnp.ndarray):
+        result = solve_kinematic_adam(
+            robot,
+            state.q,
+            goal,
+            ee_link_idx,
+            horizon=config.horizon,
+            n_iters=config.iters_per_step,
+            lr=config.lr,
+            goal_weight=config.goal_weight,
+            init_actions=state.plan,
+        )
+        # Execute the first action(s), shift the plan (zero-padded tail).
+        n_exec = config.replan_interval
+        q_next = state.q
+        for i in range(n_exec):
+            q_next = clip_to_limits(robot, q_next + result.actions[i])
+        plan_next = jnp.concatenate(
+            [result.actions[n_exec:], jnp.zeros((n_exec, robot.n_dofs), robot.dtype)]
+        )
+        ee = K.fk_link_position(robot, q_next, ee_link_idx)
+        metrics = MPCMetrics(
+            cost=result.cost,
+            cost_initial=result.cost_history[0],
+            goal_distance=jnp.linalg.norm(ee - goal),
+            plan_norm=jnp.sqrt(jnp.mean(result.actions**2)),
+        )
+        return MPCState(q_next, plan_next, state.step_count + 1), metrics
+
+    return step
+
+
+def run_mpc(
+    robot: RobotStruct,
+    q0: jnp.ndarray,
+    goal: jnp.ndarray,
+    ee_link_idx: int,
+    config: MPCConfig,
+    n_steps: int,
+):
+    """Closed-loop MPC rollout (single scenario): scan of jitted MPC steps.
+
+    Returns (final MPCState, stacked MPCMetrics over steps, q trajectory).
+    """
+    step = make_mpc_step(robot, ee_link_idx, config)
+
+    def body(state, _):
+        state, metrics = step(state, goal)
+        return state, (metrics, state.q)
+
+    state0 = mpc_init(robot, q0, config)
+    final, (metrics, q_traj) = jax.lax.scan(body, state0, None, length=n_steps)
+    return final, metrics, q_traj

@@ -1,0 +1,71 @@
+"""Profiling, benchmarking, and numerical-debug utilities.
+
+The reference has no tracing/profiling at all (SURVEY.md §5: utils.py:12
+imports timeit but never uses it). This module provides the TPU-native
+equivalents: device-accurate timing (block_until_ready), jax.profiler trace
+capture for xprof/tensorboard, annotated solver phases, and NaN-debug
+toggles.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from dataclasses import dataclass
+from typing import Callable
+
+import jax
+
+
+@dataclass
+class BenchResult:
+    mean_s: float
+    best_s: float
+    iters: int
+
+    @property
+    def mean_ms(self) -> float:
+        return self.mean_s * 1e3
+
+    def throughput(self, items: int) -> float:
+        return items / self.mean_s
+
+
+def benchmark(fn: Callable, *args, iters: int = 10, warmup: int = 2, **kwargs) -> BenchResult:
+    """Device-accurate wall timing of a jitted callable."""
+    for _ in range(warmup):
+        out = fn(*args, **kwargs)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args, **kwargs)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return BenchResult(sum(times) / len(times), min(times), iters)
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Capture a profiler trace viewable in tensorboard/xprof."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named trace span for solver phases (shows up in the profiler)."""
+    return jax.profiler.TraceAnnotation(name)
+
+
+@contextlib.contextmanager
+def debug_nans(enable: bool = True):
+    """Scoped jax_debug_nans toggle (SURVEY.md §5 numerical-guard story)."""
+    prev = jax.config.jax_debug_nans
+    jax.config.update("jax_debug_nans", enable)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_debug_nans", prev)

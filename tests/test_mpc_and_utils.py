@@ -1,0 +1,119 @@
+"""Closed-loop MPC, checkpointing, profiling, tensor-util parity."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from differentiable_robot_model_tpu import DifferentiableKUKAiiwa
+from differentiable_robot_model_tpu.ops import kinematics as K
+from differentiable_robot_model_tpu.trajopt.mpc import (
+    MPCConfig,
+    make_mpc_step,
+    mpc_init,
+    run_mpc,
+)
+from differentiable_robot_model_tpu.utils import checkpoint as ckpt
+from differentiable_robot_model_tpu.utils import tensor_utils as tu
+from differentiable_robot_model_tpu.utils.profiling import benchmark
+
+
+@pytest.fixture(scope="module")
+def iiwa_struct():
+    return DifferentiableKUKAiiwa().struct
+
+
+class TestMPC:
+    def test_closed_loop_reaches_goal(self, iiwa_struct):
+        struct = iiwa_struct
+        ee = struct.link_index("iiwa_link_ee")
+        goal = K.fk_link_position(struct, jnp.zeros(7, jnp.float32), ee)
+        q0 = jnp.asarray([0.6, 0.4, -0.3, -1.0, 0.5, 0.8, 0.2], jnp.float32)
+        config = MPCConfig(horizon=15, iters_per_step=8, lr=0.03)
+        final, metrics, q_traj = jax.jit(
+            lambda: run_mpc(struct, q0, goal, ee, config, n_steps=40)
+        )()
+        dist = np.asarray(metrics.goal_distance)
+        assert np.isfinite(dist).all()
+        assert dist[-1] < 0.05
+        assert dist[-1] < dist[0] * 0.2
+
+    def test_batched_mpc_step_vmaps(self, iiwa_struct):
+        struct = iiwa_struct
+        ee = struct.link_index("iiwa_link_ee")
+        config = MPCConfig(horizon=8, iters_per_step=3)
+        step = make_mpc_step(struct, ee, config)
+        B = 6
+        q0 = jnp.zeros((B, 7), jnp.float32)
+        goals = jnp.tile(jnp.asarray([[0.4, 0.1, 0.7]], jnp.float32), (B, 1))
+        states = jax.vmap(lambda q: mpc_init(struct, q, config))(q0)
+        states2, metrics = jax.jit(jax.vmap(step))(states, goals)
+        assert states2.q.shape == (B, 7)
+        assert np.isfinite(np.asarray(metrics.cost)).all()
+
+
+class TestCheckpoint:
+    def test_roundtrip_params(self, tmp_path, iiwa_struct):
+        tree = {
+            "a": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+            "nested": {"b": jnp.ones(4), "c": jnp.asarray(2.5)},
+        }
+        path = os.path.join(tmp_path, "ckpt.npz")
+        ckpt.save_pytree(path, tree)
+        like = jax.tree_util.tree_map(jnp.zeros_like, tree)
+        restored = ckpt.load_pytree(path, like)
+        for k1, k2 in zip(
+            jax.tree_util.tree_leaves(tree), jax.tree_util.tree_leaves(restored)
+        ):
+            assert np.allclose(np.asarray(k1), np.asarray(k2))
+
+    def test_missing_key_raises(self, tmp_path):
+        path = os.path.join(tmp_path, "ckpt.npz")
+        ckpt.save_pytree(path, {"a": jnp.ones(2)})
+        with pytest.raises(KeyError):
+            ckpt.load_pytree(path, {"a": jnp.ones(2), "b": jnp.ones(2)})
+
+    def test_model_identified_params_roundtrip(self, tmp_path):
+        from differentiable_robot_model_tpu.models.parametrizations import PositiveScalar
+
+        model = DifferentiableKUKAiiwa()
+        model.make_link_param_learnable("iiwa_link_3", "mass", PositiveScalar(init_param=2.0))
+        params = model.parameters()
+        path = os.path.join(tmp_path, "params.npz")
+        ckpt.save_pytree(path, params)
+        restored = ckpt.load_pytree(path, params)
+        model.set_parameters(restored)
+        l = model.struct.link_index("iiwa_link_3")
+        assert np.allclose(float(model.struct.mass[l]), 2.0, atol=1e-6)
+
+
+class TestProfiling:
+    def test_benchmark_helper(self, iiwa_struct):
+        fn = jax.jit(lambda q: K.fk_world(iiwa_struct, q)[1])
+        res = benchmark(fn, jnp.zeros(7, jnp.float32), iters=3, warmup=1)
+        assert res.mean_s > 0 and res.best_s <= res.mean_s
+        assert res.throughput(100) > 0
+
+
+class TestTensorUtils:
+    def test_bfill(self):
+        A = jnp.zeros((2, 3, 3))
+        vec = jnp.asarray([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
+        L = tu.bfill_lowertriangle(A, vec)
+        assert np.allclose(np.asarray(L[0]), [[0, 0, 0], [1, 0, 0], [2, 3, 0]])
+        D = tu.bfill_diagonal(A, vec)
+        assert np.allclose(np.asarray(D[1]), np.diag([4, 5, 6]))
+
+    def test_cross_and_skew(self):
+        a = jnp.asarray([[1.0, 0, 0]])
+        b = jnp.asarray([[0, 1.0, 0]])
+        assert np.allclose(np.asarray(tu.cross_product(a, b)), [[0, 0, 1]])
+        S = np.asarray(tu.vector3_to_skew_symm_matrix(a))[0]
+        assert np.allclose(S, -S.T)
+
+    def test_exp_map(self):
+        w = jnp.asarray([0.0, 0.0, np.pi / 2])
+        R = np.asarray(tu.exp_map_so3(w))
+        assert np.allclose(R @ [1, 0, 0], [0, 1, 0], atol=1e-6)
