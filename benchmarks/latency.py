@@ -1,0 +1,75 @@
+"""Replanning-latency benchmark: the 1 kHz-class per-step budget.
+
+Measures warm-started MPC replan latency (one jitted MPC step:
+solve-with-warm-start + execute + shift) for several (horizon, iters) budgets
+at B=1 and at fleet scale, on the current default backend (the real TPU chip
+when available).
+
+Usage: python benchmarks/latency.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def measure(step_fn, args, reps=50):
+    out = step_fn(*args)
+    import jax
+
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = step_fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import differentiable_robot_model_tpu as drm
+    from differentiable_robot_model_tpu.trajopt.mpc import (
+        MPCConfig,
+        make_mpc_step,
+        mpc_init,
+    )
+
+    struct = drm.DifferentiableKUKAiiwa().struct
+    ee = struct.link_index("iiwa_link_ee")
+    goal = jnp.asarray([0.4, 0.1, 0.7], jnp.float32)
+
+    print(json.dumps({"backend": jax.default_backend()}))
+    for horizon, iters in [(50, 10), (50, 3), (20, 3), (10, 2)]:
+        config = MPCConfig(horizon=horizon, iters_per_step=iters)
+        step = jax.jit(make_mpc_step(struct, ee, config))
+        state = mpc_init(struct, jnp.zeros(7, jnp.float32), config)
+        dt = measure(step, (state, goal))
+        # batched fleet replanning at B=4096
+        stepB = jax.jit(jax.vmap(make_mpc_step(struct, ee, config)))
+        B = 4096
+        states = jax.vmap(lambda q: mpc_init(struct, q, config))(
+            jnp.zeros((B, 7), jnp.float32)
+        )
+        goals = jnp.tile(goal[None], (B, 1))
+        dtB = measure(stepB, (states, goals), reps=10)
+        print(
+            json.dumps(
+                {
+                    "horizon": horizon,
+                    "iters": iters,
+                    "replan_latency_ms_B1": round(dt * 1e3, 3),
+                    "replan_rate_hz_B1": round(1.0 / dt, 1),
+                    "replan_latency_ms_B4096": round(dtB * 1e3, 3),
+                    "replans_per_s_B4096": round(B / dtB, 1),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -83,8 +83,10 @@ _jacobian = jax.jit(_jacobian_impl, static_argnames=("link_idx",))
 
 
 def _inverse_dynamics_impl(robot, q, qd, qdd, include_gravity, use_damping):
+    from ..ops.dynamics_scalar import rnea_scalar
+
     def one(a, b, c):
-        return D.rnea(robot, a, b, c, include_gravity, use_damping)
+        return rnea_scalar(robot, a, b, c, include_gravity, use_damping)
 
     return jax.vmap(one)(q, qd, qdd)
 

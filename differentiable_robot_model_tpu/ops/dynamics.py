@@ -82,6 +82,28 @@ def rnea(
     tree sweeps are ancestor-mask matmuls.
     """
     R, p = fk_world(robot, q)
+    return rnea_given_fk(
+        robot, R, p, q, qd, qdd, include_gravity, use_damping, gravity
+    )
+
+
+def rnea_given_fk(
+    robot,
+    R: jnp.ndarray,
+    p: jnp.ndarray,
+    q: jnp.ndarray,
+    qd: jnp.ndarray,
+    qdd: jnp.ndarray,
+    include_gravity: bool = True,
+    use_damping: bool = True,
+    gravity: float = GRAVITY,
+) -> jnp.ndarray:
+    """World-frame RNEA from precomputed link poses.
+
+    Topology enters ONLY through array leaves (anc_mask / dof_select /
+    rev-prism masks), so this path also serves the heterogeneous-fleet
+    program (models/fleet.py) where topology is data, not structure.
+    """
     S = world_joint_subspaces(robot, R, p)
     qd_link = robot.dof_select @ qd
     qdd_link = robot.dof_select @ qdd
@@ -132,6 +154,12 @@ def mass_matrix(robot: RobotStruct, q: jnp.ndarray) -> jnp.ndarray:
     contraction and H is one masked gram matrix — no sequential sweeps at all.
     """
     R, p = fk_world(robot, q)
+    return mass_matrix_given_fk(robot, R, p)
+
+
+def mass_matrix_given_fk(robot, R: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """World-frame CRB mass matrix from precomputed link poses (topology as
+    data — shared by the static and fleet paths)."""
     S = world_joint_subspaces(robot, R, p)
     com_w, i_cw = _world_inertia_terms(robot, R, p)
     I_w = spatial_inertia_matrix(robot.mass, com_w, i_cw)  # [L, 6, 6]
@@ -165,7 +193,11 @@ def forward_dynamics_crb(
     Default flags match reference compute_forward_dynamics
     (robot_model.py:488-494: include_gravity=True, use_damping=False).
     """
-    nle = nonlinear_effects(robot, q, qd, include_gravity, use_damping, gravity)
+    from .dynamics_scalar import rnea_scalar
+
+    nle = rnea_scalar(
+        robot, q, qd, jnp.zeros_like(q), include_gravity, use_damping, gravity
+    )
     H = mass_matrix(robot, q)
     rhs = (f - nle)[..., None]
     qdd = jax_sym_solve(H, rhs)[..., 0]

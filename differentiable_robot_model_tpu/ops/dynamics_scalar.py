@@ -1,0 +1,231 @@
+"""Scalar-expanded recursive Newton-Euler (the VPU-fusion fast path).
+
+Same algorithm as the reference's iterative_newton_euler
+(reference: robot_model.py:251-303) — textbook link-local RNEA — but every
+3-vector/rotation lives as a tuple of scalars and the link loops unroll over
+the static topology. Under `vmap` each scalar becomes a [B] lane vector and
+XLA fuses the whole two-sweep recursion into a handful of elementwise VPU
+kernels: no tiny matmuls, no [L,...] gathers, no layout churn. This is the
+same transformation that made the rollout FK 42x faster
+(ops/kinematics.py:fk_link_position).
+
+The generic world-frame masked-matmul implementation (ops/dynamics.py:rnea)
+remains as the readable/reference path; both are tested to agree to 1e-8.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.structs import JOINT_PRISMATIC, JOINT_REVOLUTE, RobotStruct
+from .dynamics import GRAVITY
+
+# ---- scalar-triple helpers (tuples of traced scalars / [B] lanes) ----------
+
+
+def _cross(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def _add(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def _sub(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def _scale(a, s):
+    return (a[0] * s, a[1] * s, a[2] * s)
+
+
+def _dot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _rot(R, v):
+    """R @ v with R a 9-tuple (row major)."""
+    return (
+        R[0] * v[0] + R[1] * v[1] + R[2] * v[2],
+        R[3] * v[0] + R[4] * v[1] + R[5] * v[2],
+        R[6] * v[0] + R[7] * v[1] + R[8] * v[2],
+    )
+
+
+def _rot_t(R, v):
+    """R^T @ v."""
+    return (
+        R[0] * v[0] + R[3] * v[1] + R[6] * v[2],
+        R[1] * v[0] + R[4] * v[1] + R[7] * v[2],
+        R[2] * v[0] + R[5] * v[1] + R[8] * v[2],
+    )
+
+
+def _symm(M, v):
+    """Symmetric 3x3 (6-tuple xx,xy,xz,yy,yz,zz) @ v."""
+    xx, xy, xz, yy, yz, zz = M
+    return (
+        xx * v[0] + xy * v[1] + xz * v[2],
+        xy * v[0] + yy * v[1] + yz * v[2],
+        xz * v[0] + yz * v[1] + zz * v[2],
+    )
+
+
+def _local_rotation(robot: RobotStruct, l: int, q_l):
+    """Local joint rotation R_rpy @ R_axis(q) as a 9-tuple of scalars.
+
+    Mirrors the joint pose construction at reference rigid_body.py:138-156,
+    generalized to arbitrary axes.
+    """
+    roll, pitch, yaw = (
+        robot.rot_angles[l, 0],
+        robot.rot_angles[l, 1],
+        robot.rot_angles[l, 2],
+    )
+    cr, sr = jnp.cos(roll), jnp.sin(roll)
+    cp, sp = jnp.cos(pitch), jnp.sin(pitch)
+    cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+    F = (
+        cy * cp, cy * sp * sr - sy * cr, cy * sp * cr + sy * sr,
+        sy * cp, sy * sp * sr + cy * cr, sy * sp * cr - cy * sr,
+        -sp, cp * sr, cp * cr,
+    )
+    if robot.joint_types[l] != JOINT_REVOLUTE:
+        return F
+    ax, ay, az = robot.axis[l, 0], robot.axis[l, 1], robot.axis[l, 2]
+    c, s = jnp.cos(q_l), jnp.sin(q_l)
+    C = 1.0 - c
+    J = (
+        c + ax * ax * C, ax * ay * C - az * s, ax * az * C + ay * s,
+        ay * ax * C + az * s, c + ay * ay * C, ay * az * C - ax * s,
+        az * ax * C - ay * s, az * ay * C + ax * s, c + az * az * C,
+    )
+    return (
+        F[0] * J[0] + F[1] * J[3] + F[2] * J[6],
+        F[0] * J[1] + F[1] * J[4] + F[2] * J[7],
+        F[0] * J[2] + F[1] * J[5] + F[2] * J[8],
+        F[3] * J[0] + F[4] * J[3] + F[5] * J[6],
+        F[3] * J[1] + F[4] * J[4] + F[5] * J[7],
+        F[3] * J[2] + F[4] * J[5] + F[5] * J[8],
+        F[6] * J[0] + F[7] * J[3] + F[8] * J[6],
+        F[6] * J[1] + F[7] * J[4] + F[8] * J[7],
+        F[6] * J[2] + F[7] * J[5] + F[8] * J[8],
+    )
+
+
+def rnea_scalar(
+    robot: RobotStruct,
+    q: jnp.ndarray,
+    qd: jnp.ndarray,
+    qdd: jnp.ndarray,
+    include_gravity: bool = True,
+    use_damping: bool = True,
+    gravity: float = GRAVITY,
+) -> jnp.ndarray:
+    """Inverse dynamics, unbatched ([D] -> [D]), fully scalar-expanded.
+
+    Behavioral parity with reference compute_inverse_dynamics
+    (robot_model.py:306-375): gravity as +g z base acceleration (d'Alembert,
+    :344-347), damping added to torques (:368-373).
+    """
+    L = robot.n_links
+    dtype = q.dtype
+    zero = jnp.zeros((), dtype)
+    q_link = robot.dof_select @ q
+    qd_link = robot.dof_select @ qd
+    qdd_link = robot.dof_select @ qdd
+
+    # Forward sweep: local-frame velocities/accelerations per link.
+    w = [(zero, zero, zero)] * L  # angular velocity
+    v = [(zero, zero, zero)] * L  # linear velocity
+    dw = [(zero, zero, zero)] * L  # angular acceleration
+    dv = [(zero, zero, zero)] * L  # linear acceleration
+    Rl = [None] * L  # local rotations (for the backward sweep)
+    tl = [None] * L
+
+    g = (zero, zero, jnp.asarray(gravity, dtype)) if include_gravity else (zero, zero, zero)
+    dv[0] = g
+
+    for l in range(1, L):
+        par = robot.parent[l]
+        jt = robot.joint_types[l]
+        R = _local_rotation(robot, l, q_link[l])
+        t = (robot.trans[l, 0], robot.trans[l, 1], robot.trans[l, 2])
+        a = (robot.axis[l, 0], robot.axis[l, 1], robot.axis[l, 2])
+        if jt == JOINT_PRISMATIC:
+            # prismatic offset slides along the joint-frame axis
+            F = _local_rotation(robot, l, zero)  # R_rpy only
+            t = _add(t, _scale(_rot(F, a), q_link[l]))
+        Rl[l], tl[l] = R, t
+
+        # motion transform child <- parent: w_c = R^T w_p ;
+        # v_c = R^T (v_p + w_p x t)   [linear velocity of the child origin]
+        w_p, v_p = w[par], v[par]
+        w_c = _rot_t(R, w_p)
+        v_c = _rot_t(R, _add(v_p, _cross(w_p, t)))
+        dw_p, dv_p = dw[par], dv[par]
+        dw_c = _rot_t(R, dw_p)
+        dv_c = _rot_t(R, _add(dv_p, _add(_cross(dw_p, t), _cross(w_p, _cross(w_p, t)))))
+
+        if jt == JOINT_REVOLUTE:
+            wj = _scale(a, qd_link[l])
+            w[l] = _add(w_c, wj)
+            v[l] = v_c
+            dw[l] = _add(dw_c, _add(_scale(a, qdd_link[l]), _cross(w_c, wj)))
+            dv[l] = dv_c
+        elif jt == JOINT_PRISMATIC:
+            vj = _scale(a, qd_link[l])
+            w[l] = w_c
+            v[l] = _add(v_c, vj)
+            dw[l] = dw_c
+            dv[l] = _add(dv_c, _add(_scale(a, qdd_link[l]), _scale(_cross(w_c, vj), 2.0)))
+        else:  # fixed
+            w[l], v[l], dw[l], dv[l] = w_c, v_c, dw_c, dv_c
+
+    # Backward sweep: forces about each link origin, accumulated to parents.
+    n_f = [(zero, zero, zero)] * L  # moment
+    f_f = [(zero, zero, zero)] * L  # force
+    tau_link = [zero] * L
+    for l in range(L - 1, 0, -1):
+        m = robot.mass[l]
+        c = (robot.com[l, 0], robot.com[l, 1], robot.com[l, 2])
+        I6 = (
+            robot.inertia_com[l, 0, 0], robot.inertia_com[l, 0, 1],
+            robot.inertia_com[l, 0, 2], robot.inertia_com[l, 1, 1],
+            robot.inertia_com[l, 1, 2], robot.inertia_com[l, 2, 2],
+        )
+        # Newton: f = m (a_c) with a_c = dv + dw x c + w x (w x c)
+        a_c = _add(dv[l], _add(_cross(dw[l], c), _cross(w[l], _cross(w[l], c))))
+        f_new = _scale(a_c, m)
+        # Euler about COM, then shift to the link origin:
+        # n = I_c dw + w x I_c w + c x f
+        n_new = _add(
+            _add(_symm(I6, dw[l]), _cross(w[l], _symm(I6, w[l]))),
+            _cross(c, f_new),
+        )
+        f_tot = _add(f_f[l], f_new)
+        n_tot = _add(n_f[l], n_new)
+
+        jt = robot.joint_types[l]
+        a = (robot.axis[l, 0], robot.axis[l, 1], robot.axis[l, 2])
+        if jt == JOINT_REVOLUTE:
+            tau_link[l] = _dot(a, n_tot)
+        elif jt == JOINT_PRISMATIC:
+            tau_link[l] = _dot(a, f_tot)
+
+        par = robot.parent[l]
+        R, t = Rl[l], tl[l]
+        f_p = _rot(R, f_tot)
+        n_p = _add(_rot(R, n_tot), _cross(t, f_p))
+        f_f[par] = _add(f_f[par], f_p)
+        n_f[par] = _add(n_f[par], n_p)
+
+    tau = jnp.stack(tau_link) @ robot.dof_select
+    if use_damping:
+        tau = tau + robot.damping * qd
+    return tau

@@ -31,11 +31,32 @@ class BenchResult:
         return items / self.mean_s
 
 
-def benchmark(fn: Callable, *args, iters: int = 10, warmup: int = 2, **kwargs) -> BenchResult:
-    """Device-accurate wall timing of a jitted callable."""
+def benchmark(
+    fn: Callable,
+    *args,
+    iters: int = 10,
+    warmup: int = 2,
+    pipelined: bool = True,
+    **kwargs,
+) -> BenchResult:
+    """Device-accurate wall timing of a jitted callable.
+
+    pipelined=True (default) dispatches all iterations asynchronously and
+    blocks once — measuring device throughput. When the device is remote
+    (e.g. a tunneled TPU), per-call blocking adds tens of ms of round-trip
+    latency that is NOT device time; pipelined=False measures that
+    end-to-end latency instead.
+    """
     for _ in range(warmup):
         out = fn(*args, **kwargs)
     jax.block_until_ready(out)
+    if pipelined:
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args, **kwargs)
+        jax.block_until_ready(out)
+        mean = (time.perf_counter() - t0) / iters
+        return BenchResult(mean, mean, iters)
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()

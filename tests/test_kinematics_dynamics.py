@@ -218,6 +218,23 @@ class TestConsistency:
             )
             assert np.allclose(np.asarray(lin), np.asarray(jac_pos), atol=1e-8)
 
+    def test_rnea_impls_agree(self, robot_fixture):
+        """World-frame masked-matmul RNEA == scalar-expanded local RNEA."""
+        import jax
+        from differentiable_robot_model_tpu.ops.dynamics import rnea
+        from differentiable_robot_model_tpu.ops.dynamics_scalar import rnea_scalar
+
+        rid, model, _ = robot_fixture
+        struct = model.struct
+        q, qd, qdd = sample_state(model, (3,))
+        t1 = jax.vmap(lambda a, b, c: rnea(struct, a, b, c))(
+            jnp.asarray(q), jnp.asarray(qd), jnp.asarray(qdd)
+        )
+        t2 = jax.vmap(lambda a, b, c: rnea_scalar(struct, a, b, c))(
+            jnp.asarray(q), jnp.asarray(qd), jnp.asarray(qdd)
+        )
+        assert np.allclose(np.asarray(t1), np.asarray(t2), atol=1e-10)
+
     def test_scalar_chain_fk_matches_generic(self, robot_fixture):
         """fk_link_position (scalar-expanded VPU path) == fk_world gather."""
         from differentiable_robot_model_tpu.ops import kinematics as K

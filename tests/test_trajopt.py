@@ -129,6 +129,41 @@ def test_ilqr_double_integrator():
     assert np.linalg.norm(np.asarray(res.xs[-1][:2]) - np.asarray(goal[:2])) < 0.05
 
 
+def test_ilqr_torque_space_dynamic():
+    """iLQR through the real forward dynamics (torque controls): stabilize
+    the 2-link robot at an upright target. No reference analog (the
+    reference has no dynamic trajectory optimization at all)."""
+    from differentiable_robot_model_tpu import DifferentiableTwoLinkRobot
+    from differentiable_robot_model_tpu.ops import dynamics as D
+
+    struct = DifferentiableTwoLinkRobot().struct
+    dt = 0.05
+    q_target = jnp.asarray([0.8, -0.4], jnp.float32)
+
+    def dynamics(x, u):
+        q, qd = x[:2], x[2:]
+        qdd = D.forward_dynamics_crb(struct, q, qd, u, use_damping=True)
+        qd2 = qd + dt * qdd
+        return jnp.concatenate([q + dt * qd2, qd2])
+
+    def cost(x, u):
+        return (
+            0.001 * jnp.sum(u * u)
+            + 5.0 * jnp.sum((x[:2] - q_target) ** 2)
+            + 0.1 * jnp.sum(x[2:] ** 2)
+        )
+
+    def final_cost(x):
+        return 500.0 * jnp.sum((x[:2] - q_target) ** 2) + 5.0 * jnp.sum(x[2:] ** 2)
+
+    x0 = jnp.zeros(4, jnp.float32)
+    us0 = jnp.zeros((25, 2), jnp.float32)
+    res = jax.jit(lambda: ilqr(dynamics, cost, final_cost, x0, us0, n_iters=15))()
+    hist = np.asarray(res.cost_history)
+    assert hist[-1] < hist[0] * 0.1
+    assert np.linalg.norm(np.asarray(res.xs[-1][:2]) - np.asarray(q_target)) < 0.05
+
+
 def test_ilqr_iiwa_reach():
     """iLQR through the real kinematic plant (joint-velocity controls)."""
     model = DifferentiableKUKAiiwa()

@@ -24,6 +24,7 @@ import xml.etree.ElementTree as ET
 ROBOTS = [
     ("2link_robot.urdf", "2link_robot.urdf"),
     ("kuka_iiwa/urdf/iiwa7.urdf", "kuka_iiwa_iiwa7.urdf"),
+    ("kuka_iiwa/urdf/iiwa7_allegro.urdf", "kuka_iiwa7_allegro.urdf"),
     ("panda_description/urdf/panda_no_gripper.urdf", "panda_no_gripper.urdf"),
     ("allegro/urdf/allegro_hand_description_left.urdf", "allegro_hand_left.urdf"),
     ("trifinger_edu_description/trifinger_edu.urdf", "trifinger_edu.urdf"),
