@@ -122,10 +122,10 @@ def fk_link_position(robot: RobotStruct, q: jnp.ndarray, link_idx: int) -> jnp.n
         l = robot.parent[l]
     chain = chain[::-1]
 
-    q_link = robot.dof_select @ q  # [L]
+    q_link = q @ robot.dof_select.T  # [..., L] (any leading batch shape)
     dtype = q_link.dtype
-    one = jnp.ones((), dtype)
-    zero = jnp.zeros((), dtype)
+    one = jnp.ones(q_link.shape[:-1], dtype)
+    zero = jnp.zeros(q_link.shape[:-1], dtype)
 
     # World rotation as 9 scalars, world position as 3 scalars.
     Rw = (one, zero, zero, zero, one, zero, zero, zero, one)
@@ -154,7 +154,7 @@ def fk_link_position(robot: RobotStruct, q: jnp.ndarray, link_idx: int) -> jnp.n
         f22 = cp * cr
 
         ax, ay, az = robot.axis[l, 0], robot.axis[l, 1], robot.axis[l, 2]
-        th = q_link[l] * robot.rev_mask[l]
+        th = q_link[..., l] * robot.rev_mask[l]
         c, s = jnp.cos(th), jnp.sin(th)
         C = one - c
         # Rodrigues, expanded.
@@ -179,7 +179,7 @@ def fk_link_position(robot: RobotStruct, q: jnp.ndarray, link_idx: int) -> jnp.n
         r21 = f20 * j01 + f21 * j11 + f22 * j21
         r22 = f20 * j02 + f21 * j12 + f22 * j22
 
-        d = q_link[l] * robot.prism_mask[l]
+        d = q_link[..., l] * robot.prism_mask[l]
         t0 = robot.trans[l, 0] + (f00 * ax + f01 * ay + f02 * az) * d
         t1 = robot.trans[l, 1] + (f10 * ax + f11 * ay + f12 * az) * d
         t2 = robot.trans[l, 2] + (f20 * ax + f21 * ay + f22 * az) * d
@@ -202,7 +202,7 @@ def fk_link_position(robot: RobotStruct, q: jnp.ndarray, link_idx: int) -> jnp.n
             w20 * r02 + w21 * r12 + w22 * r22,
         )
 
-    return jnp.stack(pw)
+    return jnp.stack(pw, axis=-1)
 
 
 def world_joint_subspaces(robot: RobotStruct, R: jnp.ndarray, p: jnp.ndarray):

@@ -58,8 +58,10 @@ def kinematic_rollout(
 
     # The integration scan above is the only stateful part (tiny [D] adds);
     # the end-effector chain is evaluated with the scalar-expanded FK (pure
-    # elementwise ops that fuse on the VPU) over all H configurations.
-    ee_traj = jax.vmap(lambda q: K.fk_link_position(robot, q, ee_link_idx))(q_clipped)
+    # elementwise ops that fuse on the VPU) over ALL H configurations in one
+    # batched call — the scalar form keeps intermediates at [H] per quantity,
+    # so unlike a matrix-form mega-batch this stays register/VMEM-resident.
+    ee_traj = K.fk_link_position(robot, q_clipped, ee_link_idx)
     q_traj = jnp.concatenate([q0[None], q_tail], axis=0)
     return ee_traj, q_traj
 
