@@ -141,6 +141,9 @@ def log_so3(R: jnp.ndarray) -> jnp.ndarray:
     """
     # Stable via quaternion: always well conditioned away from 2*pi.
     q = matrix_to_quaternion(R)  # (x, y, z, w)
+    # Canonicalize to w >= 0 so the principal branch (|omega| <= pi) is
+    # returned; q and -q encode the same rotation.
+    q = q * jnp.where(q[..., 3:4] < 0, -1.0, 1.0)
     v, w = q[..., :3], q[..., 3]
     vn = jnp.linalg.norm(v, axis=-1)
     # angle = 2*atan2(|v|, w); axis = v/|v|
@@ -257,6 +260,62 @@ def angular_error(R_des: jnp.ndarray, R_cur: jnp.ndarray) -> jnp.ndarray:
     (se3_so3_util.py:23-28).
     """
     return log_so3(R_des @ jnp.swapaxes(R_cur, -1, -2))
+
+
+def hat_so3(v: jnp.ndarray) -> jnp.ndarray:
+    """so(3) hat map (alias of skew). Reference se3_so3_util.py:61-72."""
+    return skew(v)
+
+
+def vee_so3(M: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of the so(3) hat map; (..., 3, 3) -> (..., 3).
+
+    Counterpart of reference se3_so3_util.getVec3FromSkewSymMat
+    (se3_so3_util.py:75-87), batched and assert-free (averages the two
+    off-diagonal estimates for robustness to slight asymmetry).
+    """
+    x = 0.5 * (M[..., 2, 1] - M[..., 1, 2])
+    y = 0.5 * (M[..., 0, 2] - M[..., 2, 0])
+    z = 0.5 * (M[..., 1, 0] - M[..., 0, 1])
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def hat_se3(xi: jnp.ndarray) -> jnp.ndarray:
+    """se(3) hat map: xi = (v, omega) (..., 6) -> (..., 4, 4) twist matrix.
+
+    Counterpart of reference se3_so3_util.getKseeHatFromTwist
+    (se3_so3_util.py:90-108).
+    """
+    v, omega = xi[..., :3], xi[..., 3:]
+    K = skew(omega)
+    top = jnp.concatenate([K, v[..., :, None]], axis=-1)
+    bottom = jnp.zeros(top.shape[:-2] + (1, 4), xi.dtype)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def vee_se3(M: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of the se(3) hat map; (..., 4, 4) -> (..., 6) as (v, omega)."""
+    return jnp.concatenate([M[..., :3, 3], vee_so3(M[..., :3, :3])], axis=-1)
+
+
+def homogeneous_matrix(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """(R, t) -> 4x4 homogeneous transform.
+
+    Counterpart of reference se3_so3_util.getHomogeneousTransformMatrix-style
+    helpers (se3_so3_util.py:111-145).
+    """
+    top = jnp.concatenate([R, t[..., :, None]], axis=-1)
+    bottom = jnp.zeros(top.shape[:-2] + (1, 4), R.dtype)
+    bottom = bottom.at[..., 0, 3].set(1.0)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def homogeneous_inverse(T: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of a homogeneous transform (..., 4, 4)."""
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    Rt = jnp.swapaxes(R, -1, -2)
+    return homogeneous_matrix(Rt, -jnp.einsum("...ij,...j->...i", Rt, t))
 
 
 def exp_se3(xi: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
