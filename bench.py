@@ -29,7 +29,9 @@ def main():
     import jax.numpy as jnp
 
     import differentiable_robot_model_tpu as drm
-    from differentiable_robot_model_tpu.trajopt.solvers import solve_kinematic_adam
+    from differentiable_robot_model_tpu.trajopt.solvers import (
+        solve_kinematic_adam_batch,
+    )
 
     B, H, ITERS = 4096, 50, 10
 
@@ -47,12 +49,17 @@ def main():
     goals = jnp.asarray(goals)
     q0 = jnp.asarray(q0)
 
-    def solve_one(q0_i, goal_i):
-        return solve_kinematic_adam(
-            struct, q0_i, goal_i, ee_idx, horizon=H, n_iters=ITERS, lr=0.05
-        ).actions
+    on_tpu = jax.default_backend() == "tpu"
 
-    solve_batch = jax.jit(jax.vmap(solve_one))
+    def make_solver(fk_impl):
+        return jax.jit(
+            lambda q0_b, goal_b: solve_kinematic_adam_batch(
+                struct, q0_b, goal_b, ee_idx,
+                horizon=H, n_iters=ITERS, lr=0.05, fk_impl=fk_impl, eps=1.0,
+            ).actions
+        )
+
+    solve_batch = make_solver("pallas" if on_tpu else "scalar")
 
     # Warmup / compile.
     actions = solve_batch(q0, goals)
@@ -73,7 +80,7 @@ def main():
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             small = 8
-            cpu_actions = jax.jit(jax.vmap(solve_one))(
+            cpu_actions = make_solver("scalar")(
                 jax.device_put(q0[:small], cpu), jax.device_put(goals[:small], cpu)
             )
             jax.block_until_ready(cpu_actions)

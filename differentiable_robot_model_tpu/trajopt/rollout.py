@@ -48,12 +48,44 @@ def kinematic_rollout(
 
     q_start = clip_to_limits(robot, q0)
 
-    def step(q, u):
-        q_in = jax.lax.stop_gradient(q) if stop_gradient_between_steps else q
-        q_next = clip_to_limits(robot, q_in + u)
-        return q_next, q_next
+    if stop_gradient_between_steps:
+        # Reference-parity mode (per-step detach) keeps the sequential scan:
+        # the detach breaks the clamp-affine composition below.
+        def step(q, u):
+            q_next = clip_to_limits(robot, jax.lax.stop_gradient(q) + u)
+            return q_next, q_next
 
-    _, q_tail = jax.lax.scan(step, q_start, actions[:-1])
+        _, q_tail = jax.lax.scan(step, q_start, actions[:-1])
+    else:
+        # Horizon-parallel integration. Each step is the clamp-affine map
+        # f_t(x) = min(max(x + u_t, lo), hi), and clamp-affine maps are
+        # closed under composition:
+        #   (f2 ∘ f1)(x) = min(max(x + a, b), c) with
+        #   a = a1 + a2, b = max(b1 + a2, b2), c = min(max(c1 + a2, b2), c2)
+        # — an associative combine, so the whole horizon integrates in
+        # O(log H) rounds of elementwise [H, D] ops via associative_scan
+        # instead of H-1 sequential kernel steps (and the VJP is likewise
+        # log-depth). Exact same values and subgradients as the sequential
+        # scan; this is the "horizon parallelism" axis of SURVEY.md §7.
+        u = actions[:-1]
+        lo = jnp.broadcast_to(robot.limit_lower, u.shape)
+        hi = jnp.broadcast_to(robot.limit_upper, u.shape)
+
+        def combine(e1, e2):
+            a1, b1, c1 = e1
+            a2, b2, c2 = e2
+            return (
+                a1 + a2,
+                jnp.maximum(b1 + a2, b2),
+                jnp.minimum(jnp.maximum(c1 + a2, b2), c2),
+            )
+
+        if u.shape[0] == 0:  # horizon == 1: no integration steps
+            q_tail = jnp.zeros_like(u)
+        else:
+            A, Bnd, Cnd = jax.lax.associative_scan(combine, (u, lo, hi))
+            q_tail = jnp.minimum(jnp.maximum(q_start + A, Bnd), Cnd)
+
     q_clipped = jnp.concatenate([q_start[None], q_tail], axis=0)  # [H, D]
 
     # The integration scan above is the only stateful part (tiny [D] adds);

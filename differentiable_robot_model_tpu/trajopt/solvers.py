@@ -45,6 +45,7 @@ def solve_kinematic_adam(
     goal_weight: float = 100.0,
     init_actions: jnp.ndarray | None = None,
     stop_gradient_between_steps: bool = False,
+    eps: float = 1e-8,
 ) -> TrajOptResult:
     """Optimize an action sequence to reach an end-effector goal.
 
@@ -62,8 +63,9 @@ def solve_kinematic_adam(
     # eps_root keeps the solve differentiable *end-to-end*: d/dg sqrt(g^2) is
     # NaN at g=0 (e.g. the never-used last action's gradient), which would
     # poison second-order gradients through the solver (the
-    # identification-through-MPC path).
-    opt = optax.adam(lr, eps_root=1e-8)
+    # identification-through-MPC path). `eps` additionally damps steps along
+    # null-space action directions (see solve_kinematic_adam_batch).
+    opt = optax.adam(lr, eps=eps, eps_root=1e-8)
 
     def cost_fn(actions):
         ee_traj, _ = kinematic_rollout(
@@ -83,6 +85,102 @@ def solve_kinematic_adam(
         iteration, (actions0, opt.init(actions0)), None, length=n_iters
     )
     return TrajOptResult(actions, cost_fn(actions), costs)
+
+
+class BatchTrajOptResult(NamedTuple):
+    actions: jnp.ndarray  # [B, H, D] optimized action sequences
+    cost: jnp.ndarray  # [B] final costs
+    cost_history: jnp.ndarray  # [iters, B]
+
+
+def solve_kinematic_adam_batch(
+    robot: RobotStruct,
+    q0: jnp.ndarray,  # [B, D]
+    goal_ee_pos: jnp.ndarray,  # [B, 3]
+    ee_link_idx: int,
+    horizon: int,
+    n_iters: int = 100,
+    lr: float = 1e-3,
+    goal_weight: float = 100.0,
+    fk_impl: str = "pallas",
+    eps: float = 1e-8,
+) -> BatchTrajOptResult:
+    """Throughput-optimized batched twin of `solve_kinematic_adam`.
+
+    Same math as vmap(solve_kinematic_adam) but engineered for the TPU memory
+    system: every tensor is *dof-major* ([D or 3, ..., B] with the scenario
+    batch minor) so the fused Pallas chain-FK kernels (ops/pallas/fk.py) are
+    entered with a reshape instead of a transpose relayout, the horizon
+    integration is the clamp-affine associative scan, and all B scenarios x H
+    steps are one FK call per solver iteration. `fk_impl="scalar"` selects
+    the XLA path (CPU-runnable; also the identification path, since the
+    Pallas VJP does not produce robot-parameter cotangents).
+
+    `eps` (Adam's denominator epsilon) doubles as trust-region damping for
+    *null-space* action directions: dofs that barely move the end-effector
+    (e.g. the final wrist roll pointing along the ee) have true gradients
+    below fp32 noise, and with the default eps Adam turns that noise into
+    +-lr steps of arbitrary sign — so the control sequences of any two
+    numerically distinct implementations (or backends) diverge to O(lr)
+    while costs agree to 1e-7. A gradient-scale-noticeable eps (~1e-1 x
+    typical sqrt(v)) makes those steps proportional to the (near-zero)
+    gradient instead, restoring cross-implementation control parity and,
+    empirically, slightly improving convergence.
+    """
+    B, D = q0.shape
+    H = horizon
+    dtype = robot.dtype
+
+    if fk_impl == "pallas":
+        from ..ops.pallas.fk import fk_position_dof_major
+
+        fk_fn = lambda qM: fk_position_dof_major(robot, qM, ee_link_idx)
+    else:
+        from ..ops.kinematics import fk_link_position
+
+        fk_fn = lambda qM: fk_link_position(robot, qM.T, ee_link_idx).T
+
+    lo = robot.limit_lower[:, None, None]  # [D, 1, 1]
+    hi = robot.limit_upper[:, None, None]
+    q0T = jnp.clip(q0.T, lo[:, 0], hi[:, 0])  # [D, B]
+    goalT = goal_ee_pos.T  # [3, B]
+
+    def combine(e1, e2):
+        a1, b1, c1 = e1
+        a2, b2, c2 = e2
+        return (
+            a1 + a2,
+            jnp.maximum(b1 + a2, b2),
+            jnp.minimum(jnp.maximum(c1 + a2, b2), c2),
+        )
+
+    def cost_fn(aT):  # aT: [D, H, B]
+        u = aT[:, : H - 1]
+        lo_b = jnp.broadcast_to(lo, u.shape)
+        hi_b = jnp.broadcast_to(hi, u.shape)
+        A, Bnd, Cnd = jax.lax.associative_scan(combine, (u, lo_b, hi_b), axis=1)
+        q_tail = jnp.minimum(jnp.maximum(q0T[:, None, :] + A, Bnd), Cnd)
+        q_traj = jnp.concatenate([q0T[:, None, :], q_tail], axis=1)  # [D, H, B]
+        p = fk_fn(q_traj.reshape(D, H * B)).reshape(3, H, B)
+        err = goal_weight * (p - goalT[:, None, :])
+        cost_b = jnp.mean(err * err, axis=(0, 1))  # [B], mean over 3*H terms
+        return jnp.sum(cost_b), cost_b
+
+    opt = optax.adam(lr, eps=eps, eps_root=1e-8)
+    aT0 = jnp.zeros((D, H, B), dtype)
+
+    def iteration(carry, _):
+        aT, opt_state = carry
+        (_, cost_b), grads = jax.value_and_grad(cost_fn, has_aux=True)(aT)
+        updates, opt_state = opt.update(grads, opt_state)
+        aT = optax.apply_updates(aT, updates)
+        return (aT, opt_state), cost_b
+
+    (aT, _), costs = jax.lax.scan(
+        iteration, (aT0, opt.init(aT0)), None, length=n_iters
+    )
+    _, final_cost = cost_fn(aT)
+    return BatchTrajOptResult(aT.transpose(2, 1, 0), final_cost, costs)
 
 
 # ---------------------------------------------------------------------------

@@ -58,6 +58,56 @@ def test_pallas_rnea_grads():
     assert np.allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize(
+    "ctor,ee",
+    [
+        (DifferentiableKUKAiiwa, "iiwa_link_ee"),
+        (DifferentiableAllegroHand, "link_7.0_tip"),
+        (DifferentiableFetchArm, "virtual_ee_link"),
+    ],
+)
+def test_pallas_fk_matches_scalar(ctor, ee):
+    from differentiable_robot_model_tpu.ops.kinematics import fk_link_position
+    from differentiable_robot_model_tpu.ops.pallas.fk import fk_link_position_pallas
+
+    s = ctor().struct
+    idx = s.link_index(ee)
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.uniform(-2.5, 2.5, (13, s.n_dofs)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        p = fk_link_position_pallas(s, q, idx)
+    p_ref = fk_link_position(s, q, idx)
+    assert p.shape == (13, 3)
+    assert np.allclose(np.asarray(p), np.asarray(p_ref), atol=1e-5)
+
+
+def test_pallas_fk_geometric_jacobian_vjp():
+    """The kernel backward (geometric-Jacobian identity) == autodiff of the
+    scalar path, and the dof-major packed entry agrees with the row-major one."""
+    from differentiable_robot_model_tpu.ops.kinematics import fk_link_position
+    from differentiable_robot_model_tpu.ops.pallas.fk import (
+        fk_link_position_pallas,
+        fk_position_dof_major,
+    )
+
+    s = DifferentiableKUKAiiwa().struct
+    idx = s.link_index("iiwa_link_ee")
+    rng = np.random.default_rng(4)
+    q = jnp.asarray(rng.uniform(-2.5, 2.5, (9, 7)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(9, 3)), jnp.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        dq = jax.grad(lambda a: jnp.sum(fk_link_position_pallas(s, a, idx) * g))(q)
+        p_dm = fk_position_dof_major(s, q.T, idx)
+        dq_dm = jax.grad(
+            lambda aT: jnp.sum(fk_position_dof_major(s, aT, idx) * g.T)
+        )(q.T)
+    dq_ref = jax.grad(lambda a: jnp.sum(fk_link_position(s, a, idx) * g))(q)
+    assert np.allclose(np.asarray(dq), np.asarray(dq_ref), atol=1e-4)
+    assert np.allclose(np.asarray(p_dm.T), np.asarray(fk_link_position(s, q, idx)), atol=1e-5)
+    assert np.allclose(np.asarray(dq_dm.T), np.asarray(dq_ref), atol=1e-4)
+
+
 def test_pallas_rnea_nonmultiple_batch():
     """B not a multiple of the tile size exercises the padding path."""
     s = DifferentiableKUKAiiwa().struct

@@ -13,7 +13,11 @@ from differentiable_robot_model_tpu.trajopt.rollout import (
     dynamic_rollout,
     kinematic_rollout,
 )
-from differentiable_robot_model_tpu.trajopt.solvers import ilqr, solve_kinematic_adam
+from differentiable_robot_model_tpu.trajopt.solvers import (
+    ilqr,
+    solve_kinematic_adam,
+    solve_kinematic_adam_batch,
+)
 
 
 @pytest.fixture(scope="module")
@@ -52,6 +56,35 @@ def test_rollout_clips_to_limits(panda):
     assert np.all(np.asarray(q_traj[1:]) <= np.asarray(struct.limit_upper) + 1e-6)
 
 
+def test_associative_rollout_matches_sequential_gradients(panda):
+    """The horizon-parallel (associative-scan) integration must agree with a
+    plain sequential scan in values AND gradients, including at active joint
+    limits where the clamp saturates."""
+    struct = panda.struct
+    ee = struct.link_index("panda_virtual_ee_link")
+    rng = np.random.default_rng(7)
+    q0 = jnp.asarray(rng.uniform(-0.3, 0.3, 7), jnp.float32)
+    # Large actions so several steps saturate the limits.
+    actions = jnp.asarray(rng.normal(0, 0.8, (12, 7)), jnp.float32)
+
+    def seq_cost(acts):
+        q = clip_to_limits(struct, q0)
+        total = 0.0
+        for t in range(acts.shape[0] - 1):
+            q = clip_to_limits(struct, q + acts[t])
+            total = total + jnp.sum(K.fk_world(struct, q)[1][ee] ** 2)
+        return total
+
+    def assoc_cost(acts):
+        ee_traj, _ = kinematic_rollout(struct, q0, acts, ee)
+        return jnp.sum(ee_traj[1:] ** 2)
+
+    assert np.allclose(float(seq_cost(actions)), float(assoc_cost(actions)), rtol=1e-6)
+    g_seq = jax.grad(seq_cost)(actions)
+    g_assoc = jax.grad(assoc_cost)(actions)
+    assert np.allclose(np.asarray(g_seq), np.asarray(g_assoc), atol=1e-5)
+
+
 def test_dense_goal_cost_formula():
     goal = jnp.asarray([1.0, 2.0, 3.0])
     traj = jnp.zeros((5, 3))
@@ -76,6 +109,30 @@ def test_adam_solver_reaches_goal(panda):
     # final ee close to goal
     ee_traj, _ = kinematic_rollout(struct, q0, res.actions, ee)
     assert np.linalg.norm(np.asarray(ee_traj[-1]) - np.asarray(goal)) < 0.05
+
+
+def test_batched_solver_matches_vmapped_per_sample(panda):
+    """solve_kinematic_adam_batch (dof-major throughput twin) == vmap of the
+    per-sample solver, same algorithm on the same backend."""
+    struct = panda.struct
+    ee = struct.link_index("panda_virtual_ee_link")
+    rng = np.random.default_rng(11)
+    B, H = 4, 8
+    q0 = jnp.asarray(rng.uniform(-0.4, 0.4, (B, 7)), jnp.float32)
+    goals = jax.vmap(lambda q: K.fk_world(struct, q)[1][ee])(
+        jnp.asarray(rng.uniform(-0.5, 0.5, (B, 7)), jnp.float32)
+    )
+    res_b = solve_kinematic_adam_batch(
+        struct, q0, goals, ee, horizon=H, n_iters=12, lr=0.02,
+        fk_impl="scalar", eps=1e-3,
+    )
+    res_v = jax.vmap(
+        lambda a, b: solve_kinematic_adam(
+            struct, a, b, ee, horizon=H, n_iters=12, lr=0.02, eps=1e-3
+        )
+    )(q0, goals)
+    assert np.allclose(np.asarray(res_b.actions), np.asarray(res_v.actions), atol=1e-5)
+    assert np.allclose(np.asarray(res_b.cost), np.asarray(res_v.cost), rtol=1e-5)
 
 
 def test_stop_gradient_variant_still_optimizes(panda):
