@@ -209,6 +209,95 @@ def _total_cost(cost, final_cost, xs, us):
     return stage + final_cost(xs[-1])
 
 
+def _parallel_riccati_gains(A, B, lx, lu, lxx, luu, lux, Vx, Vxx):
+    """Riccati backward pass as a log-depth associative scan over the horizon.
+
+    Temporal parallelization of LQR (Sarkka & Garcia-Fernandez, "Temporal
+    Parallelization of Dynamic Programming", IEEE TAC 2021): the conditional
+    value function between two times,
+        V(x, z) = 0.5 (z - A x - b)^T C^+ (z - A x - b) + 0.5 x^T J x - eta^T x,
+    is closed under composition V_ij(x,z) = min_y V_i(x,y) + V_j(y,z), and
+    the composition operator is associative — so all suffix value functions
+    (and hence all feedback gains) come out of ONE `associative_scan` in
+    O(log H) rounds of batched [n, n] solves instead of the O(H) sequential
+    recursion. This is the "horizon parallelism in the factorization" axis
+    (SURVEY.md §7): on a sharded horizon the same combine runs as an ICI
+    collective reduction. Combine rule verified against brute-force
+    minimization; gains asserted equal to the sequential recursion in
+    tests/test_trajopt.py.
+
+    Stage element (derived by eliminating u with the substitution
+    u_bar = u + luu^{-1}(lux x + lu)):
+        A_e = A - B luu^{-1} lux,  b_e = -B luu^{-1} lu,  C_e = B luu^{-1} B^T,
+        J_e = lxx - lux^T luu^{-1} lux,  eta_e = -(lx - lux^T luu^{-1} lu).
+    Terminal element: (0, 0, 0, -Vx, Vxx).
+
+    Returns (ks [H, m], Ks [H, m, n]) with u = u_ref + alpha*k + K (x - x_ref).
+    """
+    H, n = A.shape[0], A.shape[1]
+    dtype = A.dtype
+    eye = jnp.eye(n, dtype=dtype)
+
+    luu_inv_lux = jnp.linalg.solve(luu, lux)  # [H, m, n]
+    luu_inv_lu = jnp.linalg.solve(luu, lu[..., None])[..., 0]  # [H, m]
+    luu_inv_Bt = jnp.linalg.solve(luu, jnp.swapaxes(B, -1, -2))  # [H, m, n]
+
+    A_e = A - B @ luu_inv_lux
+    b_e = -(B @ luu_inv_lu[..., None])[..., 0]
+    C_e = B @ luu_inv_Bt
+    J_e = lxx - jnp.swapaxes(lux, -1, -2) @ luu_inv_lux
+    eta_e = -(lx - (jnp.swapaxes(lux, -1, -2) @ luu_inv_lu[..., None])[..., 0])
+
+    # append terminal element
+    zeros_m = jnp.zeros((1, n, n), dtype)
+    elems = (
+        jnp.concatenate([A_e, zeros_m]),
+        jnp.concatenate([b_e, jnp.zeros((1, n), dtype)]),
+        jnp.concatenate([C_e, zeros_m]),
+        jnp.concatenate([eta_e, -Vx[None]]),
+        jnp.concatenate([J_e, Vxx[None]]),
+    )
+
+    def combine(ej, ei):
+        # reverse scan: `ej` is the later suffix, `ei` the earlier element;
+        # compose as earlier-then-later (V_ij = min_y V_i(x,y) + V_j(y,z)).
+        Aj, bj, Cj, etaj, Jj = ej
+        Ai, bi, Ci, etai, Ji = ei
+        M = jnp.swapaxes(
+            jnp.linalg.solve(jnp.swapaxes(eye + Ci @ Jj, -1, -2), jnp.swapaxes(Aj, -1, -2)),
+            -1, -2,
+        )  # Aj (I + Ci Jj)^-1
+        N = jnp.swapaxes(
+            jnp.linalg.solve(jnp.swapaxes(eye + Jj @ Ci, -1, -2), Ai), -1, -2
+        )  # Ai^T (I + Jj Ci)^-1
+        C_new = M @ Ci @ jnp.swapaxes(Aj, -1, -2) + Cj
+        J_new = N @ Jj @ Ai + Ji
+        # C and J are symmetric by construction; re-symmetrizing after each
+        # combine keeps fp32 roundoff from accumulating skew components
+        # (the composition is less self-correcting than the sequential
+        # recursion, which symmetrizes Vxx each step).
+        return (
+            M @ Ai,
+            (M @ (bi + (Ci @ etaj[..., None])[..., 0])[..., None])[..., 0] + bj,
+            0.5 * (C_new + jnp.swapaxes(C_new, -1, -2)),
+            (N @ (etaj - (Jj @ bi[..., None])[..., 0])[..., None])[..., 0] + etai,
+            0.5 * (J_new + jnp.swapaxes(J_new, -1, -2)),
+        )
+
+    # suffix[k] composes elements k..H: V_k(x) = 0.5 x^T J x - eta^T x.
+    suffix = jax.lax.associative_scan(combine, elems, reverse=True)
+    P = suffix[4][1:]  # [H, n, n]  V_{k+1}
+    p = suffix[3][1:]  # [H, n]     eta_{k+1}
+
+    BtP = jnp.swapaxes(B, -1, -2) @ P
+    Quu = luu + BtP @ B
+    Qux = lux + BtP @ A
+    Qu = lu - (jnp.swapaxes(B, -1, -2) @ p[..., None])[..., 0]
+    ks = -jnp.linalg.solve(Quu, Qu[..., None])[..., 0]
+    Ks = -jnp.linalg.solve(Quu, Qux)
+    return ks, Ks
+
+
 def ilqr(
     dynamics: Callable,
     cost: Callable,
@@ -218,6 +307,7 @@ def ilqr(
     n_iters: int = 10,
     reg: float = 1e-6,
     line_search_alphas: tuple = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01),
+    riccati: str = "sequential",
 ) -> ILQRResult:
     """Iterative LQR over generic dynamics x' = f(x, u) and costs.
 
@@ -250,6 +340,14 @@ def ilqr(
 
         Vx = jax.grad(final_cost)(xs[-1])
         Vxx = jax.hessian(final_cost)(xs[-1])
+
+        if riccati == "parallel":
+            # The sequential recursion regularizes Quu with lam*I, which is
+            # exactly equivalent to replacing luu <- luu + lam*I throughout.
+            luu_reg = luu + lam * jnp.eye(m, dtype=us.dtype)
+            return _parallel_riccati_gains(
+                A, B, lx, lu, lxx, luu_reg, lux, Vx, Vxx
+            )
 
         def bstep(carry, inp):
             Vx, Vxx = carry

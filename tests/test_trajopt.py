@@ -186,6 +186,76 @@ def test_ilqr_double_integrator():
     assert np.linalg.norm(np.asarray(res.xs[-1][:2]) - np.asarray(goal[:2])) < 0.05
 
 
+def test_parallel_riccati_matches_sequential():
+    """The associative-scan Riccati backward pass (horizon-parallel
+    factorization) must produce the same gains and the same iLQR iterates as
+    the sequential recursion."""
+    dt = 0.1
+
+    def dynamics(x, u):
+        pos, vel = x[:2], x[2:]
+        vel2 = vel + dt * u
+        return jnp.concatenate([pos + dt * vel2, vel2])
+
+    goal = jnp.asarray([1.0, -0.5, 0.0, 0.0])
+
+    def cost(x, u):
+        return 0.1 * jnp.sum(u * u) + jnp.sum((x - goal) ** 2) + 0.05 * x[0] * u[1]
+
+    def final_cost(x):
+        return 100.0 * jnp.sum((x - goal) ** 2)
+
+    x0 = jnp.asarray([0.2, -0.1, 0.3, 0.05])
+    us0 = jnp.asarray(np.random.default_rng(5).normal(0, 0.1, (17, 2)), jnp.float64)
+    x0 = x0.astype(jnp.float64)
+
+    r_seq = jax.jit(
+        lambda: ilqr(dynamics, cost, final_cost, x0, us0, n_iters=8, riccati="sequential")
+    )()
+    r_par = jax.jit(
+        lambda: ilqr(dynamics, cost, final_cost, x0, us0, n_iters=8, riccati="parallel")
+    )()
+    assert np.allclose(np.asarray(r_seq.us), np.asarray(r_par.us), atol=1e-8)
+    assert np.allclose(
+        np.asarray(r_seq.cost_history), np.asarray(r_par.cost_history), rtol=1e-10
+    )
+
+
+def test_parallel_riccati_iiwa_reach():
+    """Horizon-parallel iLQR solves the kinematic iiwa reach like the
+    sequential one (float32, real robot plant)."""
+    model = DifferentiableKUKAiiwa()
+    struct = model.struct
+    ee = struct.link_index("iiwa_link_ee")
+    goal = K.fk_world(struct, jnp.zeros(7, jnp.float32))[1][ee]
+    dt = 0.1
+
+    def dynamics(x, u):
+        return clip_to_limits(struct, x + dt * u)
+
+    def cost(x, u):
+        _, p = K.fk_world(struct, x)
+        return 0.01 * jnp.sum(u * u) + 10.0 * jnp.sum((p[ee] - goal) ** 2)
+
+    def final_cost(x):
+        _, p = K.fk_world(struct, x)
+        return 1000.0 * jnp.sum((p[ee] - goal) ** 2)
+
+    x0 = jnp.asarray([0.5, 0.3, -0.2, -1.2, 0.4, 1.0, 0.1], jnp.float32)
+    us0 = jnp.zeros((20, 7), jnp.float32)
+    # Gains are identical to the sequential recursion on identical inputs
+    # (test above); the full solves can fork at borderline line-search
+    # accepts (clip-discontinuous plant, indefinite Hessians), so this test
+    # only requires convergence, with a few extra iterations of headroom.
+    res = jax.jit(
+        lambda: ilqr(dynamics, cost, final_cost, x0, us0, n_iters=25, riccati="parallel")
+    )()
+    hist = np.asarray(res.cost_history)
+    assert hist[-1] < hist[0]
+    _, p = K.fk_world(struct, res.xs[-1])
+    assert np.linalg.norm(np.asarray(p[ee]) - np.asarray(goal)) < 0.05
+
+
 def test_ilqr_torque_space_dynamic():
     """iLQR through the real forward dynamics (torque controls): stabilize
     the 2-link robot at an upright target. No reference analog (the
