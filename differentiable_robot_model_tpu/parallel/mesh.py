@@ -65,6 +65,48 @@ def sharded_batch_solver(
     return jax.jit(run)
 
 
+def sharded_kinematic_mpc(
+    mesh: Mesh,
+    robot,
+    ee_link_idx: int,
+    horizon: int,
+    n_iters: int = 10,
+    lr: float = 1e-3,
+    goal_weight: float = 100.0,
+    fk_impl: str = "pallas",
+    eps: float = 1e-8,
+    axis_name: str = SCENARIO_AXIS,
+):
+    """Mesh-sharded wrapper of the dof-major batched MPC solver.
+
+    Returns `solve(q0 [B, D], goals [B, 3]) -> (actions [B, H, D], cost [B])`
+    with the scenario axis sharded over the mesh via `shard_map`: each device
+    runs the full fused solve (Pallas FK kernels included) on its local
+    B/n_devices scenarios — zero collectives, so scaling is linear in chips
+    and rides DCN across hosts for free. This is the multi-chip form of the
+    headline benchmark (bench.py; >10k solves/s target on a 16-chip slice).
+    """
+    from jax import shard_map
+
+    from ..trajopt.solvers import solve_kinematic_adam_batch
+
+    def local_solve(q0, goals):
+        res = solve_kinematic_adam_batch(
+            robot, q0, goals, ee_link_idx,
+            horizon=horizon, n_iters=n_iters, lr=lr,
+            goal_weight=goal_weight, fk_impl=fk_impl, eps=eps,
+        )
+        return res.actions, res.cost
+
+    f = shard_map(
+        local_solve,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name), P(axis_name)),
+    )
+    return jax.jit(f)
+
+
 def make_data_parallel_train_step(
     mesh: Mesh,
     loss_fn: Callable,  # loss_fn(params, batch) -> scalar
@@ -79,7 +121,7 @@ def make_data_parallel_train_step(
     gradients all-reduce with `jax.lax.pmean` inside `shard_map` (ICI
     collective within a slice).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def step(params, opt_state, batch):
         def shard_step(params, batch):

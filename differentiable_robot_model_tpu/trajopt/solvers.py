@@ -167,7 +167,12 @@ def solve_kinematic_adam_batch(
         return jnp.sum(cost_b), cost_b
 
     opt = optax.adam(lr, eps=eps, eps_root=1e-8)
-    aT0 = jnp.zeros((D, H, B), dtype)
+    # Data-dependent zeros init (0*q0 term): a fresh constant array created
+    # inside a shard_map body is constant-hoisted with its LOCAL shard shape
+    # and silently mis-sharded (jax 0.9.0 sharp edge — minimal repro: grad
+    # w.r.t. jnp.zeros((..., B_local)) inside shard_map is wrong by O(1)).
+    # Tying the init to the sharded input keeps it inside the body.
+    aT0 = jnp.zeros((D, H, 1), dtype) + 0.0 * q0T[:, None, :]
 
     def iteration(carry, _):
         aT, opt_state = carry
