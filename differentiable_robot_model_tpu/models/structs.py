@@ -74,6 +74,18 @@ class RobotStruct:
     parent: tuple = dataclasses.field(metadata=dict(static=True))
     joint_types: tuple = dataclasses.field(metadata=dict(static=True))
     dof_links: tuple = dataclasses.field(metadata=dict(static=True))  # per dof -> link idx
+    # Static specialization hints for the Pallas kernels (computed from the
+    # URDF constants at build time; cleared by learnable overlays that touch
+    # the corresponding arrays so specialized code paths never see stale
+    # hints). `axis_code[l]` is (axis_index, sign) when the joint axis is
+    # EXACTLY an axis-aligned unit vector (true for every reference URDF —
+    # SURVEY.md §2 C11), else None. `rpy_zero[l]` is True when the joint
+    # origin rpy is exactly (0,0,0).
+    axis_code: tuple = dataclasses.field(metadata=dict(static=True))
+    rpy_zero: tuple = dataclasses.field(metadata=dict(static=True))
+    # Per-link (bool, bool, bool): which joint-origin xyz components are
+    # exactly 0.0 (folds translation terms out of the kernels).
+    trans_zero: tuple = dataclasses.field(metadata=dict(static=True))
     link_names: tuple = dataclasses.field(metadata=dict(static=True))
     joint_names: tuple = dataclasses.field(metadata=dict(static=True))
     name: str = dataclasses.field(metadata=dict(static=True))
@@ -154,6 +166,24 @@ def build_struct(
     damping = damping_per_link[dof_links] if D else np.zeros((0,))
     limits = limits_per_link[dof_links] if D else np.zeros((0, 4))
 
+    axis_np = np.asarray(axis, np.float64)
+    rpy_np = np.asarray(rot_angles, np.float64)
+    axis_code = []
+    for l in range(L):
+        code = None
+        for i in range(3):
+            for s in (1.0, -1.0):
+                unit = np.zeros(3)
+                unit[i] = s
+                if np.array_equal(axis_np[l], unit):
+                    code = (i, int(s))
+        axis_code.append(code)
+    rpy_zero = tuple(bool((rpy_np[l] == 0.0).all()) for l in range(L))
+    trans_np = np.asarray(trans, np.float64)
+    trans_zero = tuple(
+        tuple(bool(trans_np[l, j] == 0.0) for j in range(3)) for l in range(L)
+    )
+
     as_arr = lambda x: jnp.asarray(np.asarray(x), dtype)
     return RobotStruct(
         trans=as_arr(trans),
@@ -174,6 +204,9 @@ def build_struct(
         parent=tuple(parent),
         joint_types=tuple(joint_types),
         dof_links=tuple(dof_links),
+        axis_code=tuple(axis_code),
+        rpy_zero=rpy_zero,
+        trans_zero=trans_zero,
         link_names=tuple(link_names),
         joint_names=tuple(joint_names),
         name=name,

@@ -51,7 +51,95 @@ def _chain_to(robot: RobotStruct, link_idx: int):
     return chain[::-1]
 
 
-def _rpy_entries(rpy_ref, l):
+# --- trace-time constant folding -------------------------------------------
+# Kernel quantities are mixed Python floats (static topology constants) and
+# traced arrays. These helpers fold float*float / +-0 / *1 at TRACE time, so
+# a zero-rpy link or an axis-aligned joint emits a fraction of the vector
+# ops of the generic Rodrigues path — XLA/Mosaic cannot do this folding
+# itself (0*x and x+0 are not identities under IEEE NaN/signed-zero rules).
+
+
+def _m(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        return a * b
+    if isinstance(a, float):
+        if a == 0.0:
+            return 0.0
+        if a == 1.0:
+            return b
+        if a == -1.0:
+            return -b
+    if isinstance(b, float):
+        if b == 0.0:
+            return 0.0
+        if b == 1.0:
+            return a
+        if b == -1.0:
+            return -a
+    return a * b
+
+
+def _add(*terms):
+    out = None
+    acc_f = 0.0
+    for t in terms:
+        if isinstance(t, float):
+            acc_f += t
+        else:
+            out = t if out is None else out + t
+    if out is None:
+        return acc_f
+    return out if acc_f == 0.0 else out + acc_f
+
+
+def _sub2(a, b):
+    return _add(a, _m(-1.0, b))
+
+
+_IDENTITY9 = (1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+
+
+def _concrete_consts(robot):
+    """numpy copies of the per-link kinematic constants, or None if traced.
+
+    When the RobotStruct reaches the kernel builder CONCRETE (the production
+    deployment mode: the robot is a compile-time constant closed over by the
+    jitted solver), every per-link constant is baked into the kernel as a
+    float IMMEDIATE. This matters enormously on TPU: a Mosaic scalar-load x
+    vector broadcast multiply measures ~25x slower than a vector op with a
+    float immediate (0.43 ms vs 0.018 ms for ~200 ops over 200k configs), so
+    immediates turn the whole chain into full-rate VPU code. When the robot
+    is a tracer (e.g. differentiating w.r.t. robot parameters), the kernels
+    read constants from refs instead.
+    """
+    try:
+        import numpy as _np
+
+        f32 = lambda x: _np.asarray(x, _np.float32)
+        return {
+            "trans": f32(robot.trans),
+            "rpy": f32(robot.rot_angles),
+            "axis": f32(robot.axis),
+        }
+    except Exception:
+        return None
+
+
+def _rpy_entries(robot, rpy_ref, l, consts):
+    if consts is not None:
+        import numpy as _np
+
+        roll, pitch, yaw = (float(v) for v in consts["rpy"][l])
+        cr, sr = float(_np.float32(_np.cos(roll))), float(_np.float32(_np.sin(roll)))
+        cp, sp = float(_np.float32(_np.cos(pitch))), float(_np.float32(_np.sin(pitch)))
+        cy, sy = float(_np.float32(_np.cos(yaw))), float(_np.float32(_np.sin(yaw)))
+        return (
+            cy * cp, cy * sp * sr - sy * cr, cy * sp * cr + sy * sr,
+            sy * cp, sy * sp * sr + cy * cr, sy * sp * cr - cy * sr,
+            -sp, cp * sr, cp * cr,
+        )
+    if robot.rpy_zero[l]:
+        return _IDENTITY9
     roll, pitch, yaw = rpy_ref[l, 0], rpy_ref[l, 1], rpy_ref[l, 2]
     cr, sr = jnp.cos(roll), jnp.sin(roll)
     cp, sp = jnp.cos(pitch), jnp.sin(pitch)
@@ -64,142 +152,177 @@ def _rpy_entries(rpy_ref, l):
     )
 
 
+def _axis_entries(robot, axis_ref, l, consts):
+    if consts is not None:
+        return tuple(float(v) for v in consts["axis"][l])
+    code = robot.axis_code[l]
+    if code is not None:
+        i, s = code
+        a = [0.0, 0.0, 0.0]
+        a[i] = float(s)
+        return tuple(a)
+    return (axis_ref[l, 0], axis_ref[l, 1], axis_ref[l, 2])
+
+
+def _trans_entries(robot, trans_ref, l, consts):
+    if consts is not None:
+        return tuple(float(v) for v in consts["trans"][l])
+    tz = robot.trans_zero[l]
+    return tuple(0.0 if tz[j] else trans_ref[l, j] for j in range(3))
+
+
+def _rodrigues(ax, ay, az, c, s):
+    """Rotation about unit axis (entries may be static floats) by angle with
+    cos/sin vectors (c, s). Static-axis terms fold away at trace time: for an
+    axis-aligned joint this emits only a negation beyond cos/sin."""
+    C_cell = []
+
+    def C():
+        if not C_cell:
+            C_cell.append(1.0 - c)
+        return C_cell[0]
+
+    def offd(a1, a2, a3, sign):  # a1*a2*(1-c) + sign*a3*s
+        prod = _m(a1, a2)
+        first = 0.0 if (isinstance(prod, float) and prod == 0.0) else _m(prod, C())
+        return _add(first, _m(_m(sign, a3), s))
+
+    def diag(a):
+        aa = _m(a, a)
+        if isinstance(aa, float):
+            if aa == 1.0:
+                return 1.0
+            if aa == 0.0:
+                return c
+        return _add(c, _m(aa, C()))
+
+    return (
+        diag(ax), offd(ax, ay, az, -1.0), offd(ax, az, ay, 1.0),
+        offd(ay, ax, az, 1.0), diag(ay), offd(ay, az, ax, -1.0),
+        offd(az, ax, ay, -1.0), offd(az, ay, ax, 1.0), diag(az),
+    )
+
+
+def _mat3(Ra, Rb):
+    """3x3 product of row-major 9-tuples with folding."""
+    return (
+        _add(_m(Ra[0], Rb[0]), _m(Ra[1], Rb[3]), _m(Ra[2], Rb[6])),
+        _add(_m(Ra[0], Rb[1]), _m(Ra[1], Rb[4]), _m(Ra[2], Rb[7])),
+        _add(_m(Ra[0], Rb[2]), _m(Ra[1], Rb[5]), _m(Ra[2], Rb[8])),
+        _add(_m(Ra[3], Rb[0]), _m(Ra[4], Rb[3]), _m(Ra[5], Rb[6])),
+        _add(_m(Ra[3], Rb[1]), _m(Ra[4], Rb[4]), _m(Ra[5], Rb[7])),
+        _add(_m(Ra[3], Rb[2]), _m(Ra[4], Rb[5]), _m(Ra[5], Rb[8])),
+        _add(_m(Ra[6], Rb[0]), _m(Ra[7], Rb[3]), _m(Ra[8], Rb[6])),
+        _add(_m(Ra[6], Rb[1]), _m(Ra[7], Rb[4]), _m(Ra[8], Rb[7])),
+        _add(_m(Ra[6], Rb[2]), _m(Ra[7], Rb[5]), _m(Ra[8], Rb[8])),
+    )
+
+
 def _rot_scalar(R, v):
-    """Apply row-major 9-tuple rotation (scalars) to a 3-tuple."""
+    """Apply row-major 9-tuple rotation to a 3-tuple (folding)."""
     return (
-        R[0] * v[0] + R[1] * v[1] + R[2] * v[2],
-        R[3] * v[0] + R[4] * v[1] + R[5] * v[2],
-        R[6] * v[0] + R[7] * v[1] + R[8] * v[2],
+        _add(_m(R[0], v[0]), _m(R[1], v[1]), _m(R[2], v[2])),
+        _add(_m(R[3], v[0]), _m(R[4], v[1]), _m(R[5], v[2])),
+        _add(_m(R[6], v[0]), _m(R[7], v[1]), _m(R[8], v[2])),
     )
 
 
-def _rot_vec(Rw, v):
-    """Apply rotation with [8, LANE_B]-vector entries to a vector 3-tuple."""
-    return (
-        Rw[0] * v[0] + Rw[1] * v[1] + Rw[2] * v[2],
-        Rw[3] * v[0] + Rw[4] * v[1] + Rw[5] * v[2],
-        Rw[6] * v[0] + Rw[7] * v[1] + Rw[8] * v[2],
-    )
+_rot_vec = _rot_scalar
 
 
-def _chain_sweep(robot, chain, q_ref, trans_ref, rpy_ref, axis_ref, record):
+def _chain_sweep(robot, chain, q_ref, trans_ref, rpy_ref, axis_ref, record, consts=None):
     """Shared forward sweep. `record(l, jt, d, z, o_pre, pw, Rw)` is called per
     chain link after pw/Rw are updated; z is the world joint axis, o_pre the
     world joint origin (both None for fixed links)."""
     link_dof = {l: d for d, l in enumerate(robot.dof_links)}
-    dtype = q_ref.dtype
-    shape = q_ref.shape[1:]  # [SUB, LANE_B]
-    one = jnp.ones(shape, dtype)
-    zero = jnp.zeros(shape, dtype)
 
-    Rw = (one, zero, zero, zero, one, zero, zero, zero, one)
-    pw = (zero, zero, zero)
+    Rw = _IDENTITY9
+    pw = (0.0, 0.0, 0.0)
 
     for l in chain:
         jt = robot.joint_types[l]
-        F = _rpy_entries(rpy_ref, l)
-        ax, ay, az = axis_ref[l, 0], axis_ref[l, 1], axis_ref[l, 2]
-        t = (trans_ref[l, 0], trans_ref[l, 1], trans_ref[l, 2])
-        Fa = _rot_scalar(F, (ax, ay, az))  # axis in the post-rpy joint frame
+        F = _rpy_entries(robot, rpy_ref, l, consts)
+        a3 = _axis_entries(robot, axis_ref, l, consts)
+        t = _trans_entries(robot, trans_ref, l, consts)
+        Fa = _rot_scalar(F, a3)  # axis in the post-rpy joint frame
 
         if jt == JOINT_REVOLUTE:
             d = link_dof[l]
             qv = q_ref[d]
             c, s = jnp.cos(qv), jnp.sin(qv)
-            C = 1.0 - c
-            J = (
-                c + ax * ax * C, ax * ay * C - az * s, ax * az * C + ay * s,
-                ay * ax * C + az * s, c + ay * ay * C, ay * az * C - ax * s,
-                az * ax * C - ay * s, az * ay * C + ax * s, c + az * az * C,
-            )
-            # R_loc = F @ J (scalar x vector entries)
-            R = (
-                F[0] * J[0] + F[1] * J[3] + F[2] * J[6],
-                F[0] * J[1] + F[1] * J[4] + F[2] * J[7],
-                F[0] * J[2] + F[1] * J[5] + F[2] * J[8],
-                F[3] * J[0] + F[4] * J[3] + F[5] * J[6],
-                F[3] * J[1] + F[4] * J[4] + F[5] * J[7],
-                F[3] * J[2] + F[4] * J[5] + F[5] * J[8],
-                F[6] * J[0] + F[7] * J[3] + F[8] * J[6],
-                F[6] * J[1] + F[7] * J[4] + F[8] * J[7],
-                F[6] * J[2] + F[7] * J[5] + F[8] * J[8],
-            )
-            tt = (t[0] + zero, t[1] + zero, t[2] + zero)
+            R = _mat3(F, _rodrigues(a3[0], a3[1], a3[2], c, s))
+            tt = t
         elif jt == JOINT_PRISMATIC:
             d = link_dof[l]
             qv = q_ref[d]
-            R = tuple(Fi + zero for Fi in F)
-            tt = (t[0] + Fa[0] * qv, t[1] + Fa[1] * qv, t[2] + Fa[2] * qv)
-        else:
-            d = None
-            R = tuple(Fi + zero for Fi in F)
-            tt = (t[0] + zero, t[1] + zero, t[2] + zero)
-
-        # world joint axis and origin use Rw/pw BEFORE this link's update
-        if jt != 0:
-            z = (
-                Rw[0] * Fa[0] + Rw[1] * Fa[1] + Rw[2] * Fa[2],
-                Rw[3] * Fa[0] + Rw[4] * Fa[1] + Rw[5] * Fa[2],
-                Rw[6] * Fa[0] + Rw[7] * Fa[1] + Rw[8] * Fa[2],
+            R = F
+            tt = (
+                _add(t[0], _m(Fa[0], qv)),
+                _add(t[1], _m(Fa[1], qv)),
+                _add(t[2], _m(Fa[2], qv)),
             )
         else:
-            z = None
+            d = None
+            R = F
+            tt = t
+
+        # world joint axis and origin use Rw/pw BEFORE this link's update
+        z = _rot_scalar(Rw, Fa) if jt != 0 else None
 
         dt = _rot_vec(Rw, tt)
-        pw = (pw[0] + dt[0], pw[1] + dt[1], pw[2] + dt[2])
+        pw = (_add(pw[0], dt[0]), _add(pw[1], dt[1]), _add(pw[2], dt[2]))
         o_pre = pw if jt == JOINT_REVOLUTE else None
 
-        # Rw = Rw @ R
-        Rw = (
-            Rw[0] * R[0] + Rw[1] * R[3] + Rw[2] * R[6],
-            Rw[0] * R[1] + Rw[1] * R[4] + Rw[2] * R[7],
-            Rw[0] * R[2] + Rw[1] * R[5] + Rw[2] * R[8],
-            Rw[3] * R[0] + Rw[4] * R[3] + Rw[5] * R[6],
-            Rw[3] * R[1] + Rw[4] * R[4] + Rw[5] * R[7],
-            Rw[3] * R[2] + Rw[4] * R[5] + Rw[5] * R[8],
-            Rw[6] * R[0] + Rw[7] * R[3] + Rw[8] * R[6],
-            Rw[6] * R[1] + Rw[7] * R[4] + Rw[8] * R[7],
-            Rw[6] * R[2] + Rw[7] * R[5] + Rw[8] * R[8],
-        )
+        Rw = _mat3(Rw, R)
         record(l, jt, d, z, o_pre, pw, Rw)
     return pw
 
 
-def _fwd_kernel(robot, chain, q_ref, trans_ref, rpy_ref, axis_ref, p_ref):
+def _as_block(x, shape, dtype):
+    """Broadcast a possibly-folded (float / 0-d scalar) entry to a full block."""
+    if isinstance(x, float):
+        return jnp.full(shape, x, dtype)
+    return jnp.broadcast_to(x.astype(dtype), shape)
+
+
+def _fwd_kernel(robot, chain, consts, q_ref, trans_ref, rpy_ref, axis_ref, p_ref):
     pw = _chain_sweep(
         robot, chain, q_ref, trans_ref, rpy_ref, axis_ref,
-        lambda *a: None,
+        lambda *a: None, consts=consts,
     )
-    p_ref[0] = pw[0]
-    p_ref[1] = pw[1]
-    p_ref[2] = pw[2]
+    shape, dtype = q_ref.shape[1:], q_ref.dtype
+    p_ref[0] = _as_block(pw[0], shape, dtype)
+    p_ref[1] = _as_block(pw[1], shape, dtype)
+    p_ref[2] = _as_block(pw[2], shape, dtype)
 
 
-def _bwd_kernel(robot, chain, D, q_ref, trans_ref, rpy_ref, axis_ref, g_ref, dq_ref):
+def _bwd_kernel(robot, chain, D, consts, q_ref, trans_ref, rpy_ref, axis_ref, g_ref, dq_ref):
     recs = []  # (dof, joint_type, z, o_pre)
 
     def record(l, jt, d, z, o_pre, pw, Rw):
         if jt != 0:
             recs.append((d, jt, z, o_pre))
 
-    pw = _chain_sweep(robot, chain, q_ref, trans_ref, rpy_ref, axis_ref, record)
+    pw = _chain_sweep(
+        robot, chain, q_ref, trans_ref, rpy_ref, axis_ref, record, consts=consts
+    )
 
     g = (g_ref[0], g_ref[1], g_ref[2])
-    zero = jnp.zeros(q_ref.shape[1:], q_ref.dtype)
+    shape, dtype = q_ref.shape[1:], q_ref.dtype
     rows = {d: None for d in range(D)}
     for d, jt, z, o in recs:
         if jt == JOINT_REVOLUTE:
-            r = (pw[0] - o[0], pw[1] - o[1], pw[2] - o[2])
+            r = (_sub2(pw[0], o[0]), _sub2(pw[1], o[1]), _sub2(pw[2], o[2]))
             # dq = g . (z x r)
-            rows[d] = (
-                g[0] * (z[1] * r[2] - z[2] * r[1])
-                + g[1] * (z[2] * r[0] - z[0] * r[2])
-                + g[2] * (z[0] * r[1] - z[1] * r[0])
+            rows[d] = _add(
+                _m(g[0], _sub2(_m(z[1], r[2]), _m(z[2], r[1]))),
+                _m(g[1], _sub2(_m(z[2], r[0]), _m(z[0], r[2]))),
+                _m(g[2], _sub2(_m(z[0], r[1]), _m(z[1], r[0]))),
             )
         else:  # prismatic: dq = g . z
-            rows[d] = g[0] * z[0] + g[1] * z[1] + g[2] * z[2]
+            rows[d] = _add(_m(g[0], z[0]), _m(g[1], z[1]), _m(g[2], z[2]))
     for d in range(D):
-        dq_ref[d] = rows[d] if rows[d] is not None else zero
+        dq_ref[d] = _as_block(rows[d] if rows[d] is not None else 0.0, shape, dtype)
 
 
 def _pack(x, Nt):
@@ -240,63 +363,142 @@ def _fk_pallas_bwd_impl(robot: RobotStruct, q: jnp.ndarray, g: jnp.ndarray, link
 # ---------------------------------------------------------------------------
 
 
+def _batch_spec(K):
+    return pl.BlockSpec(
+        (K, 1, SUB, LANE_B), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+    )
+
+
+def _const_spec(shape):
+    return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+
 def _call_fwd(robot, chain, qP):
     """qP: [D, Nt, SUB, LANE_B] packed configs -> p [3, Nt, SUB, LANE_B]."""
     D, Nt = qP.shape[0], qP.shape[1]
-    batch = lambda K: pl.BlockSpec(
-        (K, 1, SUB, LANE_B), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
-    )
-    const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    consts = _concrete_consts(robot)
+    out_shape = jax.ShapeDtypeStruct((3, Nt, SUB, LANE_B), qP.dtype)
+
+    if consts is not None:
+        def kernel(q_ref, p_ref):
+            _fwd_kernel(
+                robot, chain, consts, q_ref.at[:, 0], None, None, None, p_ref.at[:, 0]
+            )
+
+        return pl.pallas_call(
+            kernel, out_shape=out_shape, grid=(Nt,),
+            in_specs=[_batch_spec(D)], out_specs=_batch_spec(3),
+        )(qP)
 
     def kernel(q_ref, trans_ref, rpy_ref, axis_ref, p_ref):
         _fwd_kernel(
-            robot, chain, q_ref.at[:, 0], trans_ref, rpy_ref, axis_ref, p_ref.at[:, 0]
+            robot, chain, None,
+            q_ref.at[:, 0], trans_ref, rpy_ref, axis_ref, p_ref.at[:, 0],
         )
 
     return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((3, Nt, SUB, LANE_B), qP.dtype),
-        grid=(Nt,),
+        kernel, out_shape=out_shape, grid=(Nt,),
         in_specs=[
-            batch(D),
-            const((robot.n_links, 3)),
-            const((robot.n_links, 3)),
-            const((robot.n_links, 3)),
+            _batch_spec(D),
+            _const_spec((robot.n_links, 3)),
+            _const_spec((robot.n_links, 3)),
+            _const_spec((robot.n_links, 3)),
         ],
-        out_specs=batch(3),
+        out_specs=_batch_spec(3),
     )(qP, robot.trans, robot.rot_angles, robot.axis)
 
 
 def _call_bwd(robot, chain, D, qP, gP):
     Nt = qP.shape[1]
-    batch = lambda K: pl.BlockSpec(
-        (K, 1, SUB, LANE_B), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
-    )
-    const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    consts = _concrete_consts(robot)
+    out_shape = jax.ShapeDtypeStruct((D, Nt, SUB, LANE_B), qP.dtype)
+
+    if consts is not None:
+        def kernel(q_ref, g_ref, dq_ref):
+            _bwd_kernel(
+                robot, chain, D, consts,
+                q_ref.at[:, 0], None, None, None, g_ref.at[:, 0], dq_ref.at[:, 0],
+            )
+
+        return pl.pallas_call(
+            kernel, out_shape=out_shape, grid=(Nt,),
+            in_specs=[_batch_spec(D), _batch_spec(3)], out_specs=_batch_spec(D),
+        )(qP, gP)
 
     def kernel(q_ref, trans_ref, rpy_ref, axis_ref, g_ref, dq_ref):
         _bwd_kernel(
-            robot, chain, D,
+            robot, chain, D, None,
             q_ref.at[:, 0], trans_ref, rpy_ref, axis_ref,
             g_ref.at[:, 0], dq_ref.at[:, 0],
         )
 
     return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((D, Nt, SUB, LANE_B), qP.dtype),
-        grid=(Nt,),
+        kernel, out_shape=out_shape, grid=(Nt,),
         in_specs=[
-            batch(D),
-            const((robot.n_links, 3)),
-            const((robot.n_links, 3)),
-            const((robot.n_links, 3)),
-            batch(3),
+            _batch_spec(D),
+            _const_spec((robot.n_links, 3)),
+            _const_spec((robot.n_links, 3)),
+            _const_spec((robot.n_links, 3)),
+            _batch_spec(3),
         ],
-        out_specs=batch(D),
+        out_specs=_batch_spec(D),
     )(qP, robot.trans, robot.rot_angles, robot.axis, gP)
 
 
+def _dm_run_fwd(robot, chain, qM):
+    D, M = qM.shape
+    pad = (-M) % TILE_B
+    Nt = (M + pad) // TILE_B
+    qP = jnp.pad(qM, ((0, 0), (0, pad))).reshape(D, Nt, SUB, LANE_B)
+    return _call_fwd(robot, chain, qP).reshape(3, -1)[:, :M]
+
+
+def _dm_run_bwd(robot, chain, qM, g):
+    D, M = qM.shape
+    pad = (-M) % TILE_B
+    Nt = (M + pad) // TILE_B
+    qP = jnp.pad(qM, ((0, 0), (0, pad))).reshape(D, Nt, SUB, LANE_B)
+    gP = jnp.pad(g, ((0, 0), (0, pad))).reshape(3, Nt, SUB, LANE_B)
+    return _call_bwd(robot, chain, D, qP, gP).reshape(D, -1)[:, :M]
+
+
+def _fk_dof_major_frozen(robot: RobotStruct, link_idx: int):
+    """Frozen-robot variant: the struct stays in CLOSURE (concrete at trace
+    time) so every kinematic constant reaches the kernels as a float
+    immediate. custom_vjp lifts its array *arguments* to tracers — which
+    would silently drop the immediates path — hence this factory shape."""
+    chain = _chain_to(robot, link_idx)
+
+    @jax.custom_vjp
+    def f(qM):
+        return _dm_run_fwd(robot, chain, qM)
+
+    f.defvjp(
+        lambda qM: (_dm_run_fwd(robot, chain, qM), qM),
+        lambda qM, g: (_dm_run_bwd(robot, chain, qM, g),),
+    )
+    return f
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _fk_dof_major_traced(robot: RobotStruct, qM: jnp.ndarray, link_idx: int):
+    return _dm_run_fwd(robot, _chain_to(robot, link_idx), qM)
+
+
+def _dm_vjp_fwd(robot, qM, link_idx):
+    return _fk_dof_major_traced(robot, qM, link_idx), (robot, qM)
+
+
+def _dm_vjp_bwd(link_idx, res, g):
+    robot, qM = res
+    dq = _dm_run_bwd(robot, _chain_to(robot, link_idx), qM, g)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, robot)
+    return zeros, dq
+
+
+_fk_dof_major_traced.defvjp(_dm_vjp_fwd, _dm_vjp_bwd)
+
+
 def fk_position_dof_major(robot: RobotStruct, qM: jnp.ndarray, link_idx: int):
     """World position of link `link_idx` for dof-major configs qM: [D, M].
 
@@ -306,37 +508,18 @@ def fk_position_dof_major(robot: RobotStruct, qM: jnp.ndarray, link_idx: int):
     kernel itself at MPC sizes). This is the hot entry used by the batched
     MPC solver (trajopt/solvers.py solve_kinematic_adam_batch).
 
+    When `robot` is concrete (closed over by the jitted caller — the
+    production deployment mode) the kernels bake all kinematic constants as
+    float immediates (see _concrete_consts); a traced robot falls back to
+    reading them from refs.
+
     VJP is w.r.t. qM only (geometric-Jacobian kernel); robot-parameter
     cotangents are zero — use ops/kinematics.fk_link_position for
     identification paths that differentiate w.r.t. robot parameters.
     """
-    D, M = qM.shape
-    chain = _chain_to(robot, link_idx)
-    pad = (-M) % TILE_B
-    Nt = (M + pad) // TILE_B
-    qP = jnp.pad(qM, ((0, 0), (0, pad))).reshape(D, Nt, SUB, LANE_B)
-    pP = _call_fwd(robot, chain, qP)
-    return pP.reshape(3, -1)[:, :M]
-
-
-def _dm_vjp_fwd(robot, qM, link_idx):
-    return fk_position_dof_major(robot, qM, link_idx), (robot, qM)
-
-
-def _dm_vjp_bwd(link_idx, res, g):
-    robot, qM = res
-    D, M = qM.shape
-    chain = _chain_to(robot, link_idx)
-    pad = (-M) % TILE_B
-    Nt = (M + pad) // TILE_B
-    qP = jnp.pad(qM, ((0, 0), (0, pad))).reshape(D, Nt, SUB, LANE_B)
-    gP = jnp.pad(g, ((0, 0), (0, pad))).reshape(3, Nt, SUB, LANE_B)
-    dqP = _call_bwd(robot, chain, D, qP, gP)
-    zeros = jax.tree_util.tree_map(jnp.zeros_like, robot)
-    return zeros, dqP.reshape(D, -1)[:, :M]
-
-
-fk_position_dof_major.defvjp(_dm_vjp_fwd, _dm_vjp_bwd)
+    if _concrete_consts(robot) is not None:
+        return _fk_dof_major_frozen(robot, link_idx)(qM)
+    return _fk_dof_major_traced(robot, qM, link_idx)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -108,6 +108,48 @@ def test_pallas_fk_geometric_jacobian_vjp():
     assert np.allclose(np.asarray(dq_dm.T), np.asarray(dq_ref), atol=1e-4)
 
 
+def test_pallas_fk_arbitrary_axis_and_traced_robot():
+    """Non-axis-aligned joint axes (no reference URDF has them) exercise the
+    generic Rodrigues path, and passing the struct through jit arguments
+    (tracer) exercises the refs path — both must match the scalar XLA FK."""
+    import numpy as np_
+    from differentiable_robot_model_tpu.models.structs import build_struct
+    from differentiable_robot_model_tpu.ops.kinematics import fk_link_position
+    from differentiable_robot_model_tpu.ops.pallas.fk import fk_position_dof_major
+
+    rng = np_.random.default_rng(9)
+    L = 4
+    axes = rng.normal(size=(L, 3))
+    axes[0] = 0
+    axes[1:] /= np_.linalg.norm(axes[1:], axis=1, keepdims=True)
+    s = build_struct(
+        name="synth",
+        link_names=[f"l{i}" for i in range(L)],
+        joint_names=[f"j{i}" for i in range(L)],
+        parent=[0, 0, 1, 2],
+        joint_types=[0, 1, 1, 1],
+        trans=rng.normal(size=(L, 3)) * 0.2,
+        rot_angles=rng.normal(size=(L, 3)) * 0.3,
+        axis=axes,
+        mass=np_.ones(L),
+        com=np_.zeros((L, 3)),
+        inertia_com=np_.tile(np_.eye(3), (L, 1, 1)),
+        damping_per_link=np_.zeros(L),
+        limits_per_link=np_.tile(np_.array([-3.0, 3.0, 100.0, 10.0]), (L, 1)),
+        dtype=jnp.float32,
+    )
+    assert all(c is None for c in s.axis_code[1:])
+    q = jnp.asarray(rng.uniform(-1, 1, (11, 3)), jnp.float32)
+    ref = fk_link_position(s, q, 3)
+    with pltpu.force_tpu_interpret_mode():
+        # concrete struct -> immediates path
+        p_frozen = fk_position_dof_major(s, q.T, 3).T
+        # struct through jit args -> tracer -> refs path
+        p_traced = jax.jit(lambda st, qq: fk_position_dof_major(st, qq, 3))(s, q.T).T
+    assert np.allclose(np.asarray(p_frozen), np.asarray(ref), atol=1e-5)
+    assert np.allclose(np.asarray(p_traced), np.asarray(ref), atol=1e-5)
+
+
 def test_pallas_rnea_nonmultiple_batch():
     """B not a multiple of the tile size exercises the padding path."""
     s = DifferentiableKUKAiiwa().struct
