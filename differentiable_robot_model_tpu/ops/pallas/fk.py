@@ -51,52 +51,23 @@ def _chain_to(robot: RobotStruct, link_idx: int):
     return chain[::-1]
 
 
-# --- trace-time constant folding -------------------------------------------
-# Kernel quantities are mixed Python floats (static topology constants) and
-# traced arrays. These helpers fold float*float / +-0 / *1 at TRACE time, so
-# a zero-rpy link or an axis-aligned joint emits a fraction of the vector
-# ops of the generic Rodrigues path — XLA/Mosaic cannot do this folding
-# itself (0*x and x+0 are not identities under IEEE NaN/signed-zero rules).
+# Trace-time constant folding helpers shared across the Pallas kernels — see
+# ops/pallas/_fold.py for the rationale (scalar-broadcast multiplies are
+# ~25x a vector-immediate op on Mosaic, so folding constants is the
+# difference between constant-bound and compute-bound kernels).
+from ._fold import (
+    _IDENTITY9,
+    add as _add,
+    as_block as _as_block,
+    m as _m,
+    mat3 as _mat3,
+    rodrigues as _rodrigues,
+    rot as _rot_scalar,
+    rpy_matrix as _rpy_matrix,
+    sub as _sub2,
+)
 
-
-def _m(a, b):
-    if isinstance(a, float) and isinstance(b, float):
-        return a * b
-    if isinstance(a, float):
-        if a == 0.0:
-            return 0.0
-        if a == 1.0:
-            return b
-        if a == -1.0:
-            return -b
-    if isinstance(b, float):
-        if b == 0.0:
-            return 0.0
-        if b == 1.0:
-            return a
-        if b == -1.0:
-            return -a
-    return a * b
-
-
-def _add(*terms):
-    out = None
-    acc_f = 0.0
-    for t in terms:
-        if isinstance(t, float):
-            acc_f += t
-        else:
-            out = t if out is None else out + t
-    if out is None:
-        return acc_f
-    return out if acc_f == 0.0 else out + acc_f
-
-
-def _sub2(a, b):
-    return _add(a, _m(-1.0, b))
-
-
-_IDENTITY9 = (1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+_rot_vec = _rot_scalar
 
 
 def _concrete_consts(robot):
@@ -130,25 +101,17 @@ def _rpy_entries(robot, rpy_ref, l, consts):
         import numpy as _np
 
         roll, pitch, yaw = (float(v) for v in consts["rpy"][l])
-        cr, sr = float(_np.float32(_np.cos(roll))), float(_np.float32(_np.sin(roll)))
-        cp, sp = float(_np.float32(_np.cos(pitch))), float(_np.float32(_np.sin(pitch)))
-        cy, sy = float(_np.float32(_np.cos(yaw))), float(_np.float32(_np.sin(yaw)))
-        return (
-            cy * cp, cy * sp * sr - sy * cr, cy * sp * cr + sy * sr,
-            sy * cp, sy * sp * sr + cy * cr, sy * sp * cr - cy * sr,
-            -sp, cp * sr, cp * cr,
+        f32cs = lambda a: (
+            float(_np.float32(_np.cos(a))), float(_np.float32(_np.sin(a)))
         )
+        return _rpy_matrix(f32cs(roll), f32cs(pitch), f32cs(yaw))
     if robot.rpy_zero[l]:
         return _IDENTITY9
     roll, pitch, yaw = rpy_ref[l, 0], rpy_ref[l, 1], rpy_ref[l, 2]
-    cr, sr = jnp.cos(roll), jnp.sin(roll)
-    cp, sp = jnp.cos(pitch), jnp.sin(pitch)
-    cy, sy = jnp.cos(yaw), jnp.sin(yaw)
-    # R_rpy = Rz(yaw) @ Ry(pitch) @ Rx(roll), row-major 9-tuple of scalars.
-    return (
-        cy * cp, cy * sp * sr - sy * cr, cy * sp * cr + sy * sr,
-        sy * cp, sy * sp * sr + cy * cr, sy * sp * cr - cy * sr,
-        -sp, cp * sr, cp * cr,
+    return _rpy_matrix(
+        (jnp.cos(roll), jnp.sin(roll)),
+        (jnp.cos(pitch), jnp.sin(pitch)),
+        (jnp.cos(yaw), jnp.sin(yaw)),
     )
 
 
@@ -169,65 +132,6 @@ def _trans_entries(robot, trans_ref, l, consts):
         return tuple(float(v) for v in consts["trans"][l])
     tz = robot.trans_zero[l]
     return tuple(0.0 if tz[j] else trans_ref[l, j] for j in range(3))
-
-
-def _rodrigues(ax, ay, az, c, s):
-    """Rotation about unit axis (entries may be static floats) by angle with
-    cos/sin vectors (c, s). Static-axis terms fold away at trace time: for an
-    axis-aligned joint this emits only a negation beyond cos/sin."""
-    C_cell = []
-
-    def C():
-        if not C_cell:
-            C_cell.append(1.0 - c)
-        return C_cell[0]
-
-    def offd(a1, a2, a3, sign):  # a1*a2*(1-c) + sign*a3*s
-        prod = _m(a1, a2)
-        first = 0.0 if (isinstance(prod, float) and prod == 0.0) else _m(prod, C())
-        return _add(first, _m(_m(sign, a3), s))
-
-    def diag(a):
-        aa = _m(a, a)
-        if isinstance(aa, float):
-            if aa == 1.0:
-                return 1.0
-            if aa == 0.0:
-                return c
-        return _add(c, _m(aa, C()))
-
-    return (
-        diag(ax), offd(ax, ay, az, -1.0), offd(ax, az, ay, 1.0),
-        offd(ay, ax, az, 1.0), diag(ay), offd(ay, az, ax, -1.0),
-        offd(az, ax, ay, -1.0), offd(az, ay, ax, 1.0), diag(az),
-    )
-
-
-def _mat3(Ra, Rb):
-    """3x3 product of row-major 9-tuples with folding."""
-    return (
-        _add(_m(Ra[0], Rb[0]), _m(Ra[1], Rb[3]), _m(Ra[2], Rb[6])),
-        _add(_m(Ra[0], Rb[1]), _m(Ra[1], Rb[4]), _m(Ra[2], Rb[7])),
-        _add(_m(Ra[0], Rb[2]), _m(Ra[1], Rb[5]), _m(Ra[2], Rb[8])),
-        _add(_m(Ra[3], Rb[0]), _m(Ra[4], Rb[3]), _m(Ra[5], Rb[6])),
-        _add(_m(Ra[3], Rb[1]), _m(Ra[4], Rb[4]), _m(Ra[5], Rb[7])),
-        _add(_m(Ra[3], Rb[2]), _m(Ra[4], Rb[5]), _m(Ra[5], Rb[8])),
-        _add(_m(Ra[6], Rb[0]), _m(Ra[7], Rb[3]), _m(Ra[8], Rb[6])),
-        _add(_m(Ra[6], Rb[1]), _m(Ra[7], Rb[4]), _m(Ra[8], Rb[7])),
-        _add(_m(Ra[6], Rb[2]), _m(Ra[7], Rb[5]), _m(Ra[8], Rb[8])),
-    )
-
-
-def _rot_scalar(R, v):
-    """Apply row-major 9-tuple rotation to a 3-tuple (folding)."""
-    return (
-        _add(_m(R[0], v[0]), _m(R[1], v[1]), _m(R[2], v[2])),
-        _add(_m(R[3], v[0]), _m(R[4], v[1]), _m(R[5], v[2])),
-        _add(_m(R[6], v[0]), _m(R[7], v[1]), _m(R[8], v[2])),
-    )
-
-
-_rot_vec = _rot_scalar
 
 
 def _chain_sweep(robot, chain, q_ref, trans_ref, rpy_ref, axis_ref, record, consts=None):
@@ -276,13 +180,6 @@ def _chain_sweep(robot, chain, q_ref, trans_ref, rpy_ref, axis_ref, record, cons
         Rw = _mat3(Rw, R)
         record(l, jt, d, z, o_pre, pw, Rw)
     return pw
-
-
-def _as_block(x, shape, dtype):
-    """Broadcast a possibly-folded (float / 0-d scalar) entry to a full block."""
-    if isinstance(x, float):
-        return jnp.full(shape, x, dtype)
-    return jnp.broadcast_to(x.astype(dtype), shape)
 
 
 def _fwd_kernel(robot, chain, consts, q_ref, trans_ref, rpy_ref, axis_ref, p_ref):
