@@ -49,8 +49,12 @@ def main():
         step = jax.jit(make_mpc_step(struct, ee, config))
         state = mpc_init(struct, jnp.zeros(7, jnp.float32), config)
         dt = measure(step, (state, goal))
-        # batched fleet replanning at B=4096
-        stepB = jax.jit(jax.vmap(make_mpc_step(struct, ee, config)))
+        # batched fleet replanning at B=4096 (dof-major batched solver with
+        # the fused Pallas FK kernels; scalar XLA path off-TPU)
+        from differentiable_robot_model_tpu.trajopt.mpc import make_mpc_step_batch
+
+        fk_impl = "pallas" if jax.default_backend() == "tpu" else "scalar"
+        stepB = jax.jit(make_mpc_step_batch(struct, ee, config, fk_impl=fk_impl))
         B = 4096
         states = jax.vmap(lambda q: mpc_init(struct, q, config))(
             jnp.zeros((B, 7), jnp.float32)

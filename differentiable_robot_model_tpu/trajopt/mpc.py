@@ -97,6 +97,62 @@ def make_mpc_step(robot: RobotStruct, ee_link_idx: int, config: MPCConfig):
     return step
 
 
+def make_mpc_step_batch(
+    robot: RobotStruct,
+    ee_link_idx: int,
+    config: MPCConfig,
+    fk_impl: str = "pallas",
+    eps: float = 1e-8,
+):
+    """Throughput twin of `make_mpc_step` for a whole scenario fleet.
+
+    `(states [B], goals [B, 3]) -> (states', metrics)` built on the dof-major
+    batched solver (solvers.solve_kinematic_adam_batch): one fused Pallas FK
+    call per solver iteration covers all B scenarios x H steps, instead of
+    vmapping the per-sample solver. States are the same MPCState pytree with
+    a leading batch axis, so `mpc_init` composes with vmap as usual.
+    """
+    from ..ops import kinematics as K
+    from .solvers import solve_kinematic_adam_batch
+
+    def step(states: MPCState, goals: jnp.ndarray):
+        result = solve_kinematic_adam_batch(
+            robot,
+            states.q,
+            goals,
+            ee_link_idx,
+            horizon=config.horizon,
+            n_iters=config.iters_per_step,
+            lr=config.lr,
+            goal_weight=config.goal_weight,
+            fk_impl=fk_impl,
+            eps=eps,
+            init_actions=states.plan,
+        )
+        n_exec = config.replan_interval
+        q_next = states.q
+        for i in range(n_exec):
+            q_next = clip_to_limits(robot, q_next + result.actions[:, i])
+        B = result.actions.shape[0]
+        plan_next = jnp.concatenate(
+            [
+                result.actions[:, n_exec:],
+                jnp.zeros((B, n_exec, robot.n_dofs), robot.dtype),
+            ],
+            axis=1,
+        )
+        ee = K.fk_link_position(robot, q_next, ee_link_idx)
+        metrics = MPCMetrics(
+            cost=result.cost,
+            cost_initial=result.cost_history[0],
+            goal_distance=jnp.linalg.norm(ee - goals, axis=-1),
+            plan_norm=jnp.sqrt(jnp.mean(result.actions**2, axis=(1, 2))),
+        )
+        return MPCState(q_next, plan_next, states.step_count + 1), metrics
+
+    return step
+
+
 def run_mpc(
     robot: RobotStruct,
     q0: jnp.ndarray,

@@ -104,6 +104,7 @@ def solve_kinematic_adam_batch(
     goal_weight: float = 100.0,
     fk_impl: str = "pallas",
     eps: float = 1e-8,
+    init_actions: jnp.ndarray | None = None,  # [B, H, D] warm start
 ) -> BatchTrajOptResult:
     """Throughput-optimized batched twin of `solve_kinematic_adam`.
 
@@ -167,12 +168,16 @@ def solve_kinematic_adam_batch(
         return jnp.sum(cost_b), cost_b
 
     opt = optax.adam(lr, eps=eps, eps_root=1e-8)
-    # Data-dependent zeros init (0*q0 term): a fresh constant array created
-    # inside a shard_map body is constant-hoisted with its LOCAL shard shape
-    # and silently mis-sharded (jax 0.9.0 sharp edge — minimal repro: grad
-    # w.r.t. jnp.zeros((..., B_local)) inside shard_map is wrong by O(1)).
-    # Tying the init to the sharded input keeps it inside the body.
-    aT0 = jnp.zeros((D, H, 1), dtype) + 0.0 * q0T[:, None, :]
+    if init_actions is not None:
+        aT0 = jnp.asarray(init_actions, dtype).transpose(2, 1, 0)  # [D, H, B]
+    else:
+        # Data-dependent zeros init (0*q0 term): a fresh constant array
+        # created inside a shard_map body is constant-hoisted with its LOCAL
+        # shard shape and silently mis-sharded (jax 0.9.0 sharp edge —
+        # minimal repro: grad w.r.t. jnp.zeros((..., B_local)) inside
+        # shard_map is wrong by O(1)). Tying the init to the sharded input
+        # keeps it inside the body.
+        aT0 = jnp.zeros((D, H, 1), dtype) + 0.0 * q0T[:, None, :]
 
     def iteration(carry, _):
         aT, opt_state = carry

@@ -3,8 +3,8 @@
 import os
 
 import numpy as np
-import pytest
 import jax
+import pytest
 import jax.numpy as jnp
 
 from differentiable_robot_model_tpu import DifferentiableKUKAiiwa
@@ -12,6 +12,7 @@ from differentiable_robot_model_tpu.ops import kinematics as K
 from differentiable_robot_model_tpu.trajopt.mpc import (
     MPCConfig,
     make_mpc_step,
+    make_mpc_step_batch,
     mpc_init,
     run_mpc,
 )
@@ -52,6 +53,26 @@ class TestMPC:
         states2, metrics = jax.jit(jax.vmap(step))(states, goals)
         assert states2.q.shape == (B, 7)
         assert np.isfinite(np.asarray(metrics.cost)).all()
+
+    def test_batched_mpc_step_matches_vmapped(self, iiwa_struct):
+        """make_mpc_step_batch (dof-major batched solver) == vmap of the
+        per-sample MPC step, same algorithm same backend."""
+        struct = iiwa_struct
+        ee = struct.link_index("iiwa_link_ee")
+        config = MPCConfig(horizon=8, iters_per_step=3, lr=0.02)
+        B = 5
+        rng = np.random.default_rng(4)
+        q0 = jnp.asarray(rng.uniform(-0.4, 0.4, (B, 7)), jnp.float32)
+        goals = jnp.asarray(rng.uniform(0.2, 0.6, (B, 3)), jnp.float32)
+        states = jax.vmap(lambda q: mpc_init(struct, q, config))(q0)
+
+        sv, mv = jax.jit(jax.vmap(make_mpc_step(struct, ee, config)))(states, goals)
+        sb, mb = jax.jit(make_mpc_step_batch(struct, ee, config, fk_impl="scalar"))(
+            states, goals
+        )
+        assert np.allclose(np.asarray(sb.q), np.asarray(sv.q), atol=1e-5)
+        assert np.allclose(np.asarray(sb.plan), np.asarray(sv.plan), atol=1e-5)
+        assert np.allclose(np.asarray(mb.cost), np.asarray(mv.cost), rtol=1e-5)
 
 
 class TestCheckpoint:
