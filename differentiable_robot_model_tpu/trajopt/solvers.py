@@ -219,6 +219,76 @@ def _total_cost(cost, final_cost, xs, us):
     return stage + final_cost(xs[-1])
 
 
+def riccati_combine(ej, ei, eye):
+    """Compose conditional-value-function elements: `ei` earlier, `ej` later.
+
+    V_ij(x, z) = min_y V_i(x, y) + V_j(y, z) for elements of the form
+    V(x, z) = 0.5 (z - A x - b)^T C^+ (z - A x - b) + 0.5 x^T J x - eta^T x.
+    Associative; verified against brute-force minimization. Shared by the
+    single-device parallel Riccati below and the horizon-sharded version
+    (parallel/horizon.py). Batched over any leading axes.
+    """
+    Aj, bj, Cj, etaj, Jj = ej
+    Ai, bi, Ci, etai, Ji = ei
+    M = jnp.swapaxes(
+        jnp.linalg.solve(jnp.swapaxes(eye + Ci @ Jj, -1, -2), jnp.swapaxes(Aj, -1, -2)),
+        -1, -2,
+    )  # Aj (I + Ci Jj)^-1
+    N = jnp.swapaxes(
+        jnp.linalg.solve(jnp.swapaxes(eye + Jj @ Ci, -1, -2), Ai), -1, -2
+    )  # Ai^T (I + Jj Ci)^-1
+    C_new = M @ Ci @ jnp.swapaxes(Aj, -1, -2) + Cj
+    J_new = N @ Jj @ Ai + Ji
+    # C and J are symmetric by construction; re-symmetrizing after each
+    # combine keeps fp32 roundoff from accumulating skew components
+    # (the composition is less self-correcting than the sequential
+    # recursion, which symmetrizes Vxx each step).
+    return (
+        M @ Ai,
+        (M @ (bi + (Ci @ etaj[..., None])[..., 0])[..., None])[..., 0] + bj,
+        0.5 * (C_new + jnp.swapaxes(C_new, -1, -2)),
+        (N @ (etaj - (Jj @ bi[..., None])[..., 0])[..., None])[..., 0] + etai,
+        0.5 * (J_new + jnp.swapaxes(J_new, -1, -2)),
+    )
+
+
+def riccati_stage_elements(A, B, lx, lu, lxx, luu, lux, Vx, Vxx):
+    """Stage + terminal conditional-value elements for the parallel Riccati
+    (see _parallel_riccati_gains docstring for the derivation)."""
+    H, n = A.shape[0], A.shape[1]
+    dtype = A.dtype
+
+    luu_inv_lux = jnp.linalg.solve(luu, lux)  # [H, m, n]
+    luu_inv_lu = jnp.linalg.solve(luu, lu[..., None])[..., 0]  # [H, m]
+    luu_inv_Bt = jnp.linalg.solve(luu, jnp.swapaxes(B, -1, -2))  # [H, m, n]
+
+    A_e = A - B @ luu_inv_lux
+    b_e = -(B @ luu_inv_lu[..., None])[..., 0]
+    C_e = B @ luu_inv_Bt
+    J_e = lxx - jnp.swapaxes(lux, -1, -2) @ luu_inv_lux
+    eta_e = -(lx - (jnp.swapaxes(lux, -1, -2) @ luu_inv_lu[..., None])[..., 0])
+
+    zeros_m = jnp.zeros((1, n, n), dtype)
+    return (
+        jnp.concatenate([A_e, zeros_m]),
+        jnp.concatenate([b_e, jnp.zeros((1, n), dtype)]),
+        jnp.concatenate([C_e, zeros_m]),
+        jnp.concatenate([eta_e, -Vx[None]]),
+        jnp.concatenate([J_e, Vxx[None]]),
+    )
+
+
+def riccati_gains_from_suffix(A, B, lu, luu, lux, P, p):
+    """Feedback gains given the suffix value functions V_{k+1} = (P, p)."""
+    BtP = jnp.swapaxes(B, -1, -2) @ P
+    Quu = luu + BtP @ B
+    Qux = lux + BtP @ A
+    Qu = lu - (jnp.swapaxes(B, -1, -2) @ p[..., None])[..., 0]
+    ks = -jnp.linalg.solve(Quu, Qu[..., None])[..., 0]
+    Ks = -jnp.linalg.solve(Quu, Qux)
+    return ks, Ks
+
+
 def _parallel_riccati_gains(A, B, lx, lu, lxx, luu, lux, Vx, Vxx):
     """Riccati backward pass as a log-depth associative scan over the horizon.
 
@@ -244,68 +314,16 @@ def _parallel_riccati_gains(A, B, lx, lu, lxx, luu, lux, Vx, Vxx):
 
     Returns (ks [H, m], Ks [H, m, n]) with u = u_ref + alpha*k + K (x - x_ref).
     """
-    H, n = A.shape[0], A.shape[1]
-    dtype = A.dtype
-    eye = jnp.eye(n, dtype=dtype)
-
-    luu_inv_lux = jnp.linalg.solve(luu, lux)  # [H, m, n]
-    luu_inv_lu = jnp.linalg.solve(luu, lu[..., None])[..., 0]  # [H, m]
-    luu_inv_Bt = jnp.linalg.solve(luu, jnp.swapaxes(B, -1, -2))  # [H, m, n]
-
-    A_e = A - B @ luu_inv_lux
-    b_e = -(B @ luu_inv_lu[..., None])[..., 0]
-    C_e = B @ luu_inv_Bt
-    J_e = lxx - jnp.swapaxes(lux, -1, -2) @ luu_inv_lux
-    eta_e = -(lx - (jnp.swapaxes(lux, -1, -2) @ luu_inv_lu[..., None])[..., 0])
-
-    # append terminal element
-    zeros_m = jnp.zeros((1, n, n), dtype)
-    elems = (
-        jnp.concatenate([A_e, zeros_m]),
-        jnp.concatenate([b_e, jnp.zeros((1, n), dtype)]),
-        jnp.concatenate([C_e, zeros_m]),
-        jnp.concatenate([eta_e, -Vx[None]]),
-        jnp.concatenate([J_e, Vxx[None]]),
-    )
-
-    def combine(ej, ei):
-        # reverse scan: `ej` is the later suffix, `ei` the earlier element;
-        # compose as earlier-then-later (V_ij = min_y V_i(x,y) + V_j(y,z)).
-        Aj, bj, Cj, etaj, Jj = ej
-        Ai, bi, Ci, etai, Ji = ei
-        M = jnp.swapaxes(
-            jnp.linalg.solve(jnp.swapaxes(eye + Ci @ Jj, -1, -2), jnp.swapaxes(Aj, -1, -2)),
-            -1, -2,
-        )  # Aj (I + Ci Jj)^-1
-        N = jnp.swapaxes(
-            jnp.linalg.solve(jnp.swapaxes(eye + Jj @ Ci, -1, -2), Ai), -1, -2
-        )  # Ai^T (I + Jj Ci)^-1
-        C_new = M @ Ci @ jnp.swapaxes(Aj, -1, -2) + Cj
-        J_new = N @ Jj @ Ai + Ji
-        # C and J are symmetric by construction; re-symmetrizing after each
-        # combine keeps fp32 roundoff from accumulating skew components
-        # (the composition is less self-correcting than the sequential
-        # recursion, which symmetrizes Vxx each step).
-        return (
-            M @ Ai,
-            (M @ (bi + (Ci @ etaj[..., None])[..., 0])[..., None])[..., 0] + bj,
-            0.5 * (C_new + jnp.swapaxes(C_new, -1, -2)),
-            (N @ (etaj - (Jj @ bi[..., None])[..., 0])[..., None])[..., 0] + etai,
-            0.5 * (J_new + jnp.swapaxes(J_new, -1, -2)),
-        )
-
+    n = A.shape[1]
+    eye = jnp.eye(n, dtype=A.dtype)
+    elems = riccati_stage_elements(A, B, lx, lu, lxx, luu, lux, Vx, Vxx)
     # suffix[k] composes elements k..H: V_k(x) = 0.5 x^T J x - eta^T x.
-    suffix = jax.lax.associative_scan(combine, elems, reverse=True)
+    suffix = jax.lax.associative_scan(
+        lambda ej, ei: riccati_combine(ej, ei, eye), elems, reverse=True
+    )
     P = suffix[4][1:]  # [H, n, n]  V_{k+1}
     p = suffix[3][1:]  # [H, n]     eta_{k+1}
-
-    BtP = jnp.swapaxes(B, -1, -2) @ P
-    Quu = luu + BtP @ B
-    Qux = lux + BtP @ A
-    Qu = lu - (jnp.swapaxes(B, -1, -2) @ p[..., None])[..., 0]
-    ks = -jnp.linalg.solve(Quu, Qu[..., None])[..., 0]
-    Ks = -jnp.linalg.solve(Quu, Qux)
-    return ks, Ks
+    return riccati_gains_from_suffix(A, B, lu, luu, lux, P, p)
 
 
 def ilqr(

@@ -129,6 +129,44 @@ def test_data_parallel_train_step_matches_single_device(mesh, iiwa):
         )
 
 
+def test_horizon_sharded_riccati_matches_sequential(mesh):
+    """The ICI-collective horizon-sharded Riccati == the single-device
+    log-depth scan == the sequential recursion, on a random LQR problem
+    whose horizon does NOT divide the device count (exercises identity
+    padding)."""
+    from differentiable_robot_model_tpu.parallel.horizon import (
+        riccati_gains_horizon_sharded,
+    )
+    from differentiable_robot_model_tpu.trajopt.solvers import (
+        _parallel_riccati_gains,
+    )
+
+    rng = np.random.default_rng(0)
+    H, n, m = 21, 4, 2  # H+1 = 22 not divisible by 8
+    dt = jnp.float64
+
+    def spd(k, d):
+        Q = rng.normal(size=(k, d, d))
+        return jnp.asarray(Q @ np.swapaxes(Q, -1, -2) + 2 * d * np.eye(d), dt)
+
+    A = jnp.asarray(rng.normal(size=(H, n, n)) * 0.3 + np.eye(n), dt)
+    B = jnp.asarray(rng.normal(size=(H, n, m)), dt)
+    lx = jnp.asarray(rng.normal(size=(H, n)), dt)
+    lu = jnp.asarray(rng.normal(size=(H, m)), dt)
+    lxx = spd(H, n)
+    luu = spd(H, m)
+    lux = jnp.asarray(rng.normal(size=(H, m, n)) * 0.1, dt)
+    Vx = jnp.asarray(rng.normal(size=(n,)), dt)
+    Vxx = spd(1, n)[0]
+
+    ks_1dev, Ks_1dev = _parallel_riccati_gains(A, B, lx, lu, lxx, luu, lux, Vx, Vxx)
+    ks_sh, Ks_sh = riccati_gains_horizon_sharded(
+        mesh, A, B, lx, lu, lxx, luu, lux, Vx, Vxx, axis_name="scenario"
+    )
+    assert np.allclose(np.asarray(ks_sh), np.asarray(ks_1dev), atol=1e-9)
+    assert np.allclose(np.asarray(Ks_sh), np.asarray(Ks_1dev), atol=1e-9)
+
+
 def test_grad_through_sharded_solve(mesh, iiwa):
     """Differentiability survives sharding: grad of solve cost w.r.t. goals."""
     struct = iiwa.struct
