@@ -98,7 +98,9 @@ _inverse_dynamics = jax.jit(
 
 @jax.jit
 def _mass_matrix(robot, q):
-    return jax.vmap(lambda a: D.mass_matrix(robot, a))(q)
+    from ..ops.dynamics_scalar import mass_matrix_scalar
+
+    return jax.vmap(lambda a: mass_matrix_scalar(robot, a))(q)
 
 
 def _fd_crb_impl(robot, q, qd, f, include_gravity, use_damping):

@@ -229,3 +229,213 @@ def rnea_scalar(
     if use_damping:
         tau = tau + robot.damping * qd
     return tau
+
+
+# ---------------------------------------------------------------------------
+# Scalar-expanded CRB mass matrix + unrolled LDL^T solve + forward dynamics
+# ---------------------------------------------------------------------------
+
+
+def _world_poses_scalar(robot: RobotStruct, q_link):
+    """World (Rw 9-tuple, pw 3-tuple) per link via a topological sweep."""
+    L = robot.n_links
+    dtype = q_link.dtype
+    one = jnp.ones((), dtype)
+    zero = jnp.zeros((), dtype)
+    Rw = [None] * L
+    pw = [None] * L
+    Rw[0] = (one, zero, zero, zero, one, zero, zero, zero, one)
+    pw[0] = (zero, zero, zero)
+    for l in range(1, L):
+        par = robot.parent[l]
+        R = _local_rotation(robot, l, q_link[l])
+        t = (robot.trans[l, 0], robot.trans[l, 1], robot.trans[l, 2])
+        if robot.joint_types[l] == JOINT_PRISMATIC:
+            F = _local_rotation(robot, l, zero)
+            t = _add(t, _scale(_rot(F, (robot.axis[l, 0], robot.axis[l, 1], robot.axis[l, 2])), q_link[l]))
+        Rp, pp = Rw[par], pw[par]
+        pw[l] = _add(pp, _rot(Rp, t))
+        Rw[l] = (
+            Rp[0] * R[0] + Rp[1] * R[3] + Rp[2] * R[6],
+            Rp[0] * R[1] + Rp[1] * R[4] + Rp[2] * R[7],
+            Rp[0] * R[2] + Rp[1] * R[5] + Rp[2] * R[8],
+            Rp[3] * R[0] + Rp[4] * R[3] + Rp[5] * R[6],
+            Rp[3] * R[1] + Rp[4] * R[4] + Rp[5] * R[7],
+            Rp[3] * R[2] + Rp[4] * R[5] + Rp[5] * R[8],
+            Rp[6] * R[0] + Rp[7] * R[3] + Rp[8] * R[6],
+            Rp[6] * R[1] + Rp[7] * R[4] + Rp[8] * R[7],
+            Rp[6] * R[2] + Rp[7] * R[5] + Rp[8] * R[8],
+        )
+    return Rw, pw
+
+
+def _rot_symm_rot_t(R, I6):
+    """R @ I @ R^T for symmetric I (6-tuple), returning the 6-tuple."""
+    # A = R @ I  (A[i][j] = sum_k R[i,k] I[k,j])
+    rows = []
+    for i in range(3):
+        r = (R[3 * i], R[3 * i + 1], R[3 * i + 2])
+        rows.append(_symm(I6, r))  # I sym => I @ r == row i of R @ I
+    # B = A @ R^T, upper triangle only
+    def entry(i, j):
+        return (
+            rows[i][0] * R[3 * j]
+            + rows[i][1] * R[3 * j + 1]
+            + rows[i][2] * R[3 * j + 2]
+        )
+
+    return (entry(0, 0), entry(0, 1), entry(0, 2), entry(1, 1), entry(1, 2), entry(2, 2))
+
+
+def mass_matrix_scalar(robot: RobotStruct, q: jnp.ndarray) -> jnp.ndarray:
+    """Joint-space inertia matrix H(q): [D, D], scalar-expanded world-frame
+    composite-rigid-body.
+
+    Same math as dynamics.mass_matrix_given_fk (reference
+    compute_lagrangian_inertia_matrix, robot_model.py:403-450) with every
+    quantity held as scalars: under vmap the whole CRB is a few fused
+    elementwise VPU kernels, ~10x faster than the [L,6,6]-stacked einsum
+    formulation at MPC batch sizes.
+    """
+    L = robot.n_links
+    D = robot.n_dofs
+    dtype = q.dtype
+    zero = jnp.zeros((), dtype)
+    q_link = robot.dof_select @ q
+    Rw, pw = _world_poses_scalar(robot, q_link)
+
+    # Per-link composite params about the WORLD ORIGIN: (m, h = m*com_w,
+    # I_o = i_cw + m (|c|^2 E - c c^T)); composites accumulate child->parent.
+    m_c = [zero] * L
+    h_c = [(zero, zero, zero)] * L
+    I_c = [(zero,) * 6] * L
+    for l in range(L):
+        m = robot.mass[l]
+        c_loc = (robot.com[l, 0], robot.com[l, 1], robot.com[l, 2])
+        cw = _add(pw[l], _rot(Rw[l], c_loc))
+        I6_loc = (
+            robot.inertia_com[l, 0, 0], robot.inertia_com[l, 0, 1],
+            robot.inertia_com[l, 0, 2], robot.inertia_com[l, 1, 1],
+            robot.inertia_com[l, 1, 2], robot.inertia_com[l, 2, 2],
+        )
+        icw = _rot_symm_rot_t(Rw[l], I6_loc)
+        cx, cy, cz = cw
+        I_o = (
+            icw[0] + m * (cy * cy + cz * cz),
+            icw[1] - m * cx * cy,
+            icw[2] - m * cx * cz,
+            icw[3] + m * (cx * cx + cz * cz),
+            icw[4] - m * cy * cz,
+            icw[5] + m * (cx * cx + cy * cy),
+        )
+        m_c[l] = m + zero
+        h_c[l] = _scale(cw, m)
+        I_c[l] = I_o
+
+    for l in range(L - 1, 0, -1):
+        par = robot.parent[l]
+        m_c[par] = m_c[par] + m_c[l]
+        h_c[par] = _add(h_c[par], h_c[l])
+        I_c[par] = tuple(a + b for a, b in zip(I_c[par], I_c[l]))
+
+    # World joint subspaces (referenced to the world origin) per dof.
+    dof_of = list(robot.dof_links)
+    S_w = []
+    anc_dofs = []  # per dof: list of dof indices on its root-chain (incl self)
+    for d, l in enumerate(dof_of):
+        a = (robot.axis[l, 0], robot.axis[l, 1], robot.axis[l, 2])
+        z = _rot(Rw[l], a)
+        if robot.joint_types[l] == JOINT_REVOLUTE:
+            S_w.append((z, _cross(pw[l], z)))
+        else:  # prismatic
+            S_w.append(((zero, zero, zero), z))
+        chain_dofs = []
+        k = l
+        while k != 0:
+            if robot.joint_types[k] != 0:
+                chain_dofs.append(dof_of.index(k))
+            k = robot.parent[k]
+        anc_dofs.append(chain_dofs)
+
+    # F_j = Ic_j S_j ;  H_ij = <S_i, F_j> for i in anc*(j).
+    rows = [[zero] * D for _ in range(D)]
+    for j in range(D):
+        lj = dof_of[j]
+        wv, vv = S_w[j]
+        n = _add(_symm(I_c[lj], wv), _cross(h_c[lj], vv))
+        f = _sub(_scale(vv, m_c[lj]), _cross(h_c[lj], wv))
+        for i in anc_dofs[j]:
+            wi, vi = S_w[i]
+            hij = _dot(wi, n) + _dot(vi, f)
+            rows[i][j] = hij
+            rows[j][i] = hij
+    return jnp.stack([jnp.stack(r) for r in rows])
+
+
+def ldl_solve_scalar(H: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve H x = b for symmetric positive-definite H: [D, D], b: [D] —
+    fully unrolled LDL^T (no sqrt, no pivoting).
+
+    XLA's batched Cholesky on [B, D, D] stacks measures ~3.5 ms at B=4096
+    D=7 on v5e; this unrolled form is pure elementwise math that fuses under
+    vmap like everything else in this module (~50x cheaper).
+    """
+    D = H.shape[-1]
+    out_dtype = H.dtype
+    # sub-float32 (bfloat16) elimination is numerically meaningless; compute
+    # in float32 and cast back (same policy as dynamics.jax_sym_solve).
+    compute_dtype = jnp.promote_types(out_dtype, jnp.float32)
+    H = H.astype(compute_dtype)
+    b = b.astype(compute_dtype)
+    Hl = [[H[i, j] for j in range(D)] for i in range(D)]
+    bl = [b[i] for i in range(D)]
+    L_ = [[None] * D for _ in range(D)]
+    d = [None] * D
+    for j in range(D):
+        s = Hl[j][j]
+        for k in range(j):
+            s = s - L_[j][k] * L_[j][k] * d[k]
+        d[j] = s
+        inv_dj = 1.0 / s
+        for i in range(j + 1, D):
+            s2 = Hl[i][j]
+            for k in range(j):
+                s2 = s2 - L_[i][k] * L_[j][k] * d[k]
+            L_[i][j] = s2 * inv_dj
+    # forward: L z = b
+    z = [None] * D
+    for i in range(D):
+        s = bl[i]
+        for k in range(i):
+            s = s - L_[i][k] * z[k]
+        z[i] = s
+    # diag + backward: L^T x = D^-1 z
+    x = [None] * D
+    for i in range(D - 1, -1, -1):
+        s = z[i] / d[i]
+        for k in range(i + 1, D):
+            s = s - L_[k][i] * x[k]
+        x[i] = s
+    return jnp.stack(x).astype(out_dtype)
+
+
+def forward_dynamics_scalar(
+    robot: RobotStruct,
+    q: jnp.ndarray,
+    qd: jnp.ndarray,
+    f: jnp.ndarray,
+    include_gravity: bool = True,
+    use_damping: bool = False,
+    gravity: float = GRAVITY,
+) -> jnp.ndarray:
+    """Forward dynamics qdd = H^-1 (f - nle), all three stages scalar-expanded
+    (NLE via rnea_scalar, H via mass_matrix_scalar, solve via unrolled LDL^T).
+
+    Same semantics as dynamics.forward_dynamics_crb / reference
+    compute_forward_dynamics_old (robot_model.py:453-485); ~6x faster at
+    B=4096 on v5e (the batched-Cholesky and [L,6,6]-einsum stages dominate
+    the generic path).
+    """
+    nle = rnea_scalar(robot, q, qd, jnp.zeros_like(q), include_gravity, use_damping, gravity)
+    H = mass_matrix_scalar(robot, q)
+    return ldl_solve_scalar(H, f - nle)
