@@ -65,12 +65,19 @@ def main():
     actions = solve_batch(q0, goals)
     jax.block_until_ready(actions)
 
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        actions = solve_batch(q0, goals)
-    jax.block_until_ready(actions)
-    dt = (time.perf_counter() - t0) / reps
+    # Throughput timing: dispatch a stream of solves and block once — the
+    # deployment shape (the device pipeline stays full). Per-call blocking
+    # would instead measure the ~25 ms development-tunnel roundtrip. reps=30
+    # amortizes warmup and tunnel jitter; best-of-3 windows for stability.
+    reps = 30
+    window_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            actions = solve_batch(q0, goals)
+        jax.block_until_ready(actions)
+        window_times.append((time.perf_counter() - t0) / reps)
+    dt = min(window_times)
     solves_per_s = B / dt
 
     # Control-sequence parity vs the CPU backend (same precision, same
