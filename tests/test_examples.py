@@ -54,3 +54,15 @@ def test_kinematic_trajectory_opt():
     hist = np.asarray(result.cost_history)
     assert np.isfinite(hist).all()
     assert hist[-1] < hist[0]
+
+
+def test_l4dc_experiment_smoke():
+    """The L4DC structured-vs-MLP experiment runs end-to-end (tiny sizes)
+    and the structured models train (reference experiments notebook no
+    longer runs against its own code; ours must)."""
+    from experiments import l4dc_structured_vs_mlp as exp
+
+    out = exp.run(n_epochs=3, n_train=120, n_test=60)
+    assert set(out) >= {"mlp", "structured_unconstrained", "structured_constrained"}
+    for k, v in out.items():
+        assert np.isfinite(np.asarray(v)).all(), k
