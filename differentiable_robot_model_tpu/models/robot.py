@@ -59,7 +59,7 @@ class KinematicState(NamedTuple):
 
 @jax.jit
 def _fk_all(robot: RobotStruct, q: jnp.ndarray):
-    R, p = jax.vmap(lambda qq: K.fk_world(robot, qq))(q)
+    R, p = jax.vmap(lambda qq: K.fk_world_scalar(robot, qq))(q)
     quat = matrix_to_quaternion(R)
     return p, quat
 
@@ -67,7 +67,7 @@ def _fk_all(robot: RobotStruct, q: jnp.ndarray):
 @jax.jit
 def _kin_state(robot: RobotStruct, q: jnp.ndarray, qd: jnp.ndarray) -> KinematicState:
     def one(qq, qqd):
-        R, p = K.fk_world(robot, qq)
+        R, p = K.fk_world_scalar(robot, qq)
         S = K.world_joint_subspaces(robot, R, p)
         V = K.body_velocities(robot, S, qqd)
         return KinematicState(R, p, S, V)

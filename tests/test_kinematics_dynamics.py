@@ -259,6 +259,19 @@ class TestConsistency:
             p_generic = K.fk_world(struct, jnp.asarray(q))[1][idx]
             assert np.allclose(np.asarray(p_scalar), np.asarray(p_generic), atol=1e-12)
 
+    def test_fk_world_scalar_matches_doubling(self, robot_fixture):
+        """Scalar topological FK sweep == pointer-doubling matmul FK, all
+        links (the model-API default vs the readable formulation)."""
+        from differentiable_robot_model_tpu.ops import kinematics as K
+
+        rid, model, _ = robot_fixture
+        struct = model.struct
+        q, _, _ = sample_state(model, ())
+        R1, p1 = K.fk_world(struct, jnp.asarray(q))
+        R2, p2 = K.fk_world_scalar(struct, jnp.asarray(q))
+        assert np.allclose(np.asarray(R1), np.asarray(R2), atol=1e-12)
+        assert np.allclose(np.asarray(p1), np.asarray(p2), atol=1e-12)
+
     def test_nle_is_id_at_zero_qdd(self, robot_fixture):
         rid, model, _ = robot_fixture
         q, qd, _ = sample_state(model, (2,))
