@@ -116,6 +116,39 @@ def generate_sine_motion_forward_dynamics_data(
     }
 
 
+class InverseDynamicsDataset:
+    """Indexable view over an inverse-dynamics dataset dict.
+
+    Counterpart of the reference's torch Dataset wrapper
+    (data_utils.py:13-28): index -> [q, qd, qdd, tau]; `var()` is the
+    per-dof torque variance used by NMSE losses. Arrays stay
+    device-resident jnp arrays; iteration/minibatching should use
+    `minibatches` (DataLoader replacement) — this class exists for the
+    reference's dataset-object idiom.
+    """
+
+    _target_key = "tau"
+
+    def __init__(self, data: Dict[str, jnp.ndarray]):
+        self.data = data
+
+    def __getitem__(self, index):
+        d = self.data
+        return [d["q"][index], d["qd"][index], d["qdd"][index], d["tau"][index]]
+
+    def __len__(self) -> int:
+        return int(self.data["q"].shape[0])
+
+    def var(self) -> jnp.ndarray:
+        return jnp.var(self.data[self._target_key], axis=0)
+
+
+class ForwardDynamicsDataset(InverseDynamicsDataset):
+    """Same view, with `var()` over accelerations (data_utils.py:31-46)."""
+
+    _target_key = "qdd"
+
+
 def minibatches(data: Dict[str, jnp.ndarray], batch_size: int, key, keys=None):
     """Shuffled minibatch iterator over a dict-of-arrays dataset.
 

@@ -138,3 +138,25 @@ class TestTensorUtils:
         w = jnp.asarray([0.0, 0.0, np.pi / 2])
         R = np.asarray(tu.exp_map_so3(w))
         assert np.allclose(R @ [1, 0, 0], [0, 1, 0], atol=1e-6)
+
+
+class TestDatasets:
+    def test_dataset_views(self):
+        from differentiable_robot_model_tpu.utils.data import (
+            ForwardDynamicsDataset,
+            InverseDynamicsDataset,
+        )
+
+        n, d = 10, 7
+        rng = np.random.default_rng(0)
+        data = {
+            k: jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+            for k in ("q", "qd", "qdd", "tau")
+        }
+        ds = InverseDynamicsDataset(data)
+        assert len(ds) == n
+        q, qd, qdd, tau = ds[3]
+        assert np.allclose(np.asarray(q), np.asarray(data["q"][3]))
+        assert np.allclose(np.asarray(ds.var()), np.var(np.asarray(data["tau"]), axis=0))
+        fds = ForwardDynamicsDataset(data)
+        assert np.allclose(np.asarray(fds.var()), np.var(np.asarray(data["qdd"]), axis=0))

@@ -23,6 +23,15 @@ from differentiable_robot_model_tpu.models.parametrizations import PositiveScala
 from differentiable_robot_model_tpu.trajopt.solvers import solve_kinematic_adam
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compile_state():
+    # A full-suite run accumulates hundreds of live CPU executables; the
+    # eager vmap-of-scan compiles below have segfaulted inside XLA:CPU's
+    # backend_compile in that state (while passing in isolation). Dropping
+    # the in-process caches first keeps this module's compiles clean.
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="module")
 def mesh():
     assert len(jax.devices()) >= 8, "conftest should provide 8 virtual devices"
@@ -53,7 +62,9 @@ def test_sharded_solver_matches_unsharded(mesh, iiwa):
 
     sharded = sharded_batch_solver(mesh, solve_one)
     out_sharded = sharded(shard_scenarios(mesh, {"q0": q0, "goal": goal}))
-    out_local = jax.vmap(lambda a, b: solve_one({"q0": a, "goal": b}))(q0, goal)
+    out_local = jax.jit(jax.vmap(lambda a, b: solve_one({"q0": a, "goal": b})))(
+        q0, goal
+    )
     assert np.allclose(np.asarray(out_sharded), np.asarray(out_local), atol=1e-6)
     # outputs actually carry the mesh sharding
     shard_devs = {d for d in out_sharded.sharding.device_set}
