@@ -34,6 +34,7 @@ from .models.robot import (
     DifferentiableAllegroHand,
     DifferentiableFetchArm,
     DifferentiableKinovaJaco,
+    DifferentiableKinovaJacoFull,
     robot_description_folder,
 )
 from .models.structs import RobotStruct
@@ -50,6 +51,7 @@ __all__ = [
     "DifferentiableAllegroHand",
     "DifferentiableFetchArm",
     "DifferentiableKinovaJaco",
+    "DifferentiableKinovaJacoFull",
     "RobotStruct",
     "robot_struct_from_urdf",
     "robot_description_folder",

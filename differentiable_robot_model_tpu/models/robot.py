@@ -394,3 +394,16 @@ class DifferentiableFetchArm(DifferentiableRobotModel):
 class DifferentiableKinovaJaco(DifferentiableRobotModel):
     def __init__(self, dtype=jnp.float32):
         super().__init__(_bundled("kinova_jaco.urdf"), "differentiable_kinova_jaco", dtype)
+
+
+class DifferentiableKinovaJacoFull(DifferentiableRobotModel):
+    """Full j2n6s300: 6-dof arm plus the 3-finger hand (12 dof, branched).
+
+    The reference ships this URDF (diff_robot_data/kinova_description/urdf/
+    jaco.urdf) but only exercises the finger-less jaco_clean variant.
+    """
+
+    def __init__(self, dtype=jnp.float32):
+        super().__init__(
+            _bundled("kinova_jaco_full.urdf"), "differentiable_kinova_jaco_full", dtype
+        )

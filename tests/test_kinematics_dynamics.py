@@ -25,6 +25,7 @@ from differentiable_robot_model_tpu import (
     DifferentiableFetchArm,
     DifferentiableFrankaPanda,
     DifferentiableKinovaJaco,
+    DifferentiableKinovaJacoFull,
     DifferentiableKUKAiiwa,
     DifferentiableTrifingerEdu,
     DifferentiableTwoLinkRobot,
@@ -48,6 +49,17 @@ ROBOTS = [
     ),
     ("fetch", DifferentiableFetchArm, ["virtual_ee_link"]),
     ("kinova", DifferentiableKinovaJaco, ["j2n6s300_link_ee"]),
+    # Beyond the reference's grid: the full jaco (arm + 3-finger hand,
+    # 12 dof, branched) — the reference ships this URDF but never tests it.
+    (
+        "kinova_full",
+        DifferentiableKinovaJacoFull,
+        [
+            "j2n6s300_link_finger_tip_1",
+            "j2n6s300_link_finger_tip_2",
+            "j2n6s300_link_finger_tip_3",
+        ],
+    ),
 ]
 
 # Full reference-parity grid is 5 shapes x 7 robots (reference

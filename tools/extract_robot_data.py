@@ -34,6 +34,7 @@ ROBOTS = [
         "fetch_arm_no_gripper_small_damping.urdf",
     ),
     ("kinova_description/urdf/jaco_clean.urdf", "kinova_jaco.urdf"),
+    ("kinova_description/urdf/jaco.urdf", "kinova_jaco_full.urdf"),
     ("panda_description/urdf/panda.urdf", "panda_with_gripper.urdf"),
     ("fetch_description/urdf/fetch.urdf", "fetch_full.urdf"),
     (
