@@ -77,6 +77,13 @@ else:
 @pytest.fixture(params=ROBOTS, ids=[r[0] for r in ROBOTS], scope="module")
 def robot_fixture(request):
     rid, ctor, ee_links = request.param
+    # Programs are robot-specific (the struct is baked into each trace), so
+    # dropping the previous robot's live executables here costs nothing and
+    # keeps the in-process executable population bounded — see the conftest
+    # _bounded_live_executables note on the XLA:CPU segfault.
+    import jax
+
+    jax.clear_caches()
     model = ctor(dtype=jnp.float64)
     return rid, model, ee_links
 

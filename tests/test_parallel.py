@@ -23,15 +23,6 @@ from differentiable_robot_model_tpu.models.parametrizations import PositiveScala
 from differentiable_robot_model_tpu.trajopt.solvers import solve_kinematic_adam
 
 
-@pytest.fixture(scope="module", autouse=True)
-def _fresh_compile_state():
-    # A full-suite run accumulates hundreds of live CPU executables; the
-    # eager vmap-of-scan compiles below have segfaulted inside XLA:CPU's
-    # backend_compile in that state (while passing in isolation). Dropping
-    # the in-process caches first keeps this module's compiles clean.
-    jax.clear_caches()
-
-
 @pytest.fixture(scope="module")
 def mesh():
     assert len(jax.devices()) >= 8, "conftest should provide 8 virtual devices"
