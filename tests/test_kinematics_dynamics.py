@@ -27,6 +27,8 @@ from differentiable_robot_model_tpu import (
     DifferentiableKinovaJaco,
     DifferentiableKinovaJacoFull,
     DifferentiableKUKAiiwa,
+    DifferentiableRobotModel,
+    robot_description_folder,
     DifferentiableTrifingerEdu,
     DifferentiableTwoLinkRobot,
 )
@@ -59,6 +61,18 @@ ROBOTS = [
             "j2n6s300_link_finger_tip_2",
             "j2n6s300_link_finger_tip_3",
         ],
+    ),
+    # Beyond the reference's grid: panda WITH gripper — the only tested
+    # robot with prismatic joints (9 dof; the reference ships the URDF but
+    # its axis-select FK cannot handle prismatic joints at all).
+    (
+        "panda_gripper",
+        lambda dtype: DifferentiableRobotModel(
+            os.path.join(robot_description_folder, "panda_with_gripper.urdf"),
+            "panda_with_gripper",
+            dtype,
+        ),
+        ["panda_virtual_ee_link", "panda_leftfinger", "panda_rightfinger"],
     ),
 ]
 
