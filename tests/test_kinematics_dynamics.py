@@ -74,6 +74,18 @@ ROBOTS = [
         ),
         ["panda_virtual_ee_link", "panda_leftfinger", "panda_rightfinger"],
     ),
+    # Beyond the reference's grid: the full Fetch (torso lift prismatic +
+    # head pan/tilt + arm + prismatic gripper fingers; 14 dof over 3
+    # branches) — the reference ships this URDF but never exercises it.
+    (
+        "fetch_full",
+        lambda dtype: DifferentiableRobotModel(
+            os.path.join(robot_description_folder, "fetch_full.urdf"),
+            "fetch_full",
+            dtype,
+        ),
+        ["l_gripper_finger_link", "r_gripper_finger_link", "head_tilt_link"],
+    ),
 ]
 
 # Full reference-parity grid is 5 shapes x 7 robots (reference
