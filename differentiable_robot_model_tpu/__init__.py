@@ -35,6 +35,8 @@ from .models.robot import (
     DifferentiableFetchArm,
     DifferentiableKinovaJaco,
     DifferentiableKinovaJacoFull,
+    DifferentiablePandaWithGripper,
+    DifferentiableFetchFull,
     robot_description_folder,
 )
 from .models.structs import RobotStruct
@@ -52,6 +54,8 @@ __all__ = [
     "DifferentiableFetchArm",
     "DifferentiableKinovaJaco",
     "DifferentiableKinovaJacoFull",
+    "DifferentiablePandaWithGripper",
+    "DifferentiableFetchFull",
     "RobotStruct",
     "robot_struct_from_urdf",
     "robot_description_folder",

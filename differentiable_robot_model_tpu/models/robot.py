@@ -396,6 +396,33 @@ class DifferentiableKinovaJaco(DifferentiableRobotModel):
         super().__init__(_bundled("kinova_jaco.urdf"), "differentiable_kinova_jaco", dtype)
 
 
+class DifferentiablePandaWithGripper(DifferentiableRobotModel):
+    """Franka Panda with the two-finger gripper (9 dof: 7 revolute +
+    2 prismatic fingers).
+
+    The reference ships this URDF (diff_robot_data/panda_description/urdf/
+    panda.urdf) but cannot run it: its axis-select FK
+    (rigid_body.py:102-107) has no prismatic-joint support.
+    """
+
+    def __init__(self, dtype=jnp.float32):
+        super().__init__(
+            _bundled("panda_with_gripper.urdf"), "differentiable_panda_with_gripper", dtype
+        )
+
+
+class DifferentiableFetchFull(DifferentiableRobotModel):
+    """Full Fetch mobile manipulator (14 dof over 3 branches: prismatic
+    torso lift, head pan/tilt, 7-dof arm, prismatic gripper fingers).
+
+    The reference ships this URDF (diff_robot_data/fetch_description/urdf/
+    fetch.urdf) but never exercises it.
+    """
+
+    def __init__(self, dtype=jnp.float32):
+        super().__init__(_bundled("fetch_full.urdf"), "differentiable_fetch_full", dtype)
+
+
 class DifferentiableKinovaJacoFull(DifferentiableRobotModel):
     """Full j2n6s300: 6-dof arm plus the 3-finger hand (12 dof, branched).
 

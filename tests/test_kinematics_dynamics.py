@@ -27,8 +27,8 @@ from differentiable_robot_model_tpu import (
     DifferentiableKinovaJaco,
     DifferentiableKinovaJacoFull,
     DifferentiableKUKAiiwa,
-    DifferentiableRobotModel,
-    robot_description_folder,
+    DifferentiableFetchFull,
+    DifferentiablePandaWithGripper,
     DifferentiableTrifingerEdu,
     DifferentiableTwoLinkRobot,
 )
@@ -67,11 +67,7 @@ ROBOTS = [
     # its axis-select FK cannot handle prismatic joints at all).
     (
         "panda_gripper",
-        lambda dtype: DifferentiableRobotModel(
-            os.path.join(robot_description_folder, "panda_with_gripper.urdf"),
-            "panda_with_gripper",
-            dtype,
-        ),
+        DifferentiablePandaWithGripper,
         ["panda_virtual_ee_link", "panda_leftfinger", "panda_rightfinger"],
     ),
     # Beyond the reference's grid: the full Fetch (torso lift prismatic +
@@ -79,11 +75,7 @@ ROBOTS = [
     # branches) — the reference ships this URDF but never exercises it.
     (
         "fetch_full",
-        lambda dtype: DifferentiableRobotModel(
-            os.path.join(robot_description_folder, "fetch_full.urdf"),
-            "fetch_full",
-            dtype,
-        ),
+        DifferentiableFetchFull,
         ["l_gripper_finger_link", "r_gripper_finger_link", "head_tilt_link"],
     ),
 ]
