@@ -15,11 +15,27 @@ remains as the readable/reference path; both are tested to agree to 1e-8.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..models.structs import JOINT_PRISMATIC, JOINT_REVOLUTE, RobotStruct
 from .dynamics import GRAVITY
+
+# Joint values are read with STATIC link->dof indexing (robot.dof_links is a
+# hashable tuple), not a dof_select matmul: indexing is exact in any float
+# mode (a [L,D]@[D] contraction would ride the MXU on TPU, where default-
+# precision f32 matmuls round through bfloat16 passes), avoids a tiny-matmul
+# dispatch, and — because the link loops unroll over the static topology —
+# costs nothing at trace time. It also lets every function here take
+# TRAILING batch axes (q: [D] or [D, B...]): all the scalar-tuple math is
+# elementwise, so a dof-major [D, B] call runs the whole algorithm on [B]
+# lanes with zero layout churn (the batched-MPC fast path).
+
+
+def _link_dof_map(robot: RobotStruct):
+    return {l: d for d, l in enumerate(robot.dof_links)}
+
 
 # ---- scalar-triple helpers (tuples of traced scalars / [B] lanes) ----------
 
@@ -127,7 +143,8 @@ def rnea_scalar(
     use_damping: bool = True,
     gravity: float = GRAVITY,
 ) -> jnp.ndarray:
-    """Inverse dynamics, unbatched ([D] -> [D]), fully scalar-expanded.
+    """Inverse dynamics ([D] -> [D], or dof-major [D, B...] -> [D, B...]),
+    fully scalar-expanded.
 
     Behavioral parity with reference compute_inverse_dynamics
     (robot_model.py:306-375): gravity as +g z base acceleration (d'Alembert,
@@ -135,10 +152,11 @@ def rnea_scalar(
     """
     L = robot.n_links
     dtype = q.dtype
-    zero = jnp.zeros((), dtype)
-    q_link = robot.dof_select @ q
-    qd_link = robot.dof_select @ qd
-    qdd_link = robot.dof_select @ qdd
+    zero = jnp.zeros(q.shape[1:], dtype)
+    ld = _link_dof_map(robot)
+    q_link = [q[ld[l]] if l in ld else zero for l in range(L)]
+    qd_link = [qd[ld[l]] if l in ld else zero for l in range(L)]
+    qdd_link = [qdd[ld[l]] if l in ld else zero for l in range(L)]
 
     # Forward sweep: local-frame velocities/accelerations per link.
     w = [(zero, zero, zero)] * L  # angular velocity
@@ -225,9 +243,22 @@ def rnea_scalar(
         f_f[par] = _add(f_f[par], f_p)
         n_f[par] = _add(n_f[par], n_p)
 
-    tau = jnp.stack(tau_link) @ robot.dof_select
+    # Gather dof torques with the one-hot contraction instead of stacking the
+    # per-dof chains directly: the dot is a fusion BARRIER for XLA:CPU, whose
+    # fusion emitter goes pathological on a concatenate root whose operands
+    # share the deep backward-sweep subgraph (measured: 217 s vs 2 s compile
+    # for this one line on the 1-core host). HIGHEST precision keeps the
+    # one-hot select exact on the TPU MXU (default-precision f32 dots round
+    # through bfloat16 passes).
+    tau = jnp.einsum(
+        "l...,ld->d...",
+        jnp.stack(tau_link),
+        robot.dof_select,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     if use_damping:
-        tau = tau + robot.damping * qd
+        damping = robot.damping.reshape(robot.damping.shape + (1,) * (qd.ndim - 1))
+        tau = tau + damping * qd
     return tau
 
 
@@ -236,12 +267,17 @@ def rnea_scalar(
 # ---------------------------------------------------------------------------
 
 
-def _world_poses_scalar(robot: RobotStruct, q_link):
-    """World (Rw 9-tuple, pw 3-tuple) per link via a topological sweep."""
+def _world_poses_scalar(robot: RobotStruct, q):
+    """World (Rw 9-tuple, pw 3-tuple) per link via a topological sweep.
+
+    q is dof-indexed: [D] or dof-major [D, B...] (scalars become [B] lanes).
+    """
     L = robot.n_links
-    dtype = q_link.dtype
-    one = jnp.ones((), dtype)
-    zero = jnp.zeros((), dtype)
+    dtype = q.dtype
+    one = jnp.ones(q.shape[1:], dtype)
+    zero = jnp.zeros(q.shape[1:], dtype)
+    ld = _link_dof_map(robot)
+    q_link = [q[ld[l]] if l in ld else zero for l in range(L)]
     Rw = [None] * L
     pw = [None] * L
     Rw[0] = (one, zero, zero, zero, one, zero, zero, zero, one)
@@ -288,21 +324,20 @@ def _rot_symm_rot_t(R, I6):
 
 
 def mass_matrix_scalar(robot: RobotStruct, q: jnp.ndarray) -> jnp.ndarray:
-    """Joint-space inertia matrix H(q): [D, D], scalar-expanded world-frame
-    composite-rigid-body.
+    """Joint-space inertia matrix H(q): [D, D] (or [D, D, B...] for dof-major
+    q [D, B...]), scalar-expanded world-frame composite-rigid-body.
 
     Same math as dynamics.mass_matrix_given_fk (reference
     compute_lagrangian_inertia_matrix, robot_model.py:403-450) with every
-    quantity held as scalars: under vmap the whole CRB is a few fused
-    elementwise VPU kernels, ~10x faster than the [L,6,6]-stacked einsum
-    formulation at MPC batch sizes.
+    quantity held as scalars: under vmap (or trailing [B] lanes) the whole
+    CRB is a few fused elementwise VPU kernels, ~10x faster than the
+    [L,6,6]-stacked einsum formulation at MPC batch sizes.
     """
     L = robot.n_links
     D = robot.n_dofs
     dtype = q.dtype
-    zero = jnp.zeros((), dtype)
-    q_link = robot.dof_select @ q
-    Rw, pw = _world_poses_scalar(robot, q_link)
+    zero = jnp.zeros(q.shape[1:], dtype)
+    Rw, pw = _world_poses_scalar(robot, q)
 
     # Per-link composite params about the WORLD ORIGIN: (m, h = m*com_w,
     # I_o = i_cw + m (|c|^2 E - c c^T)); composites accumulate child->parent.
@@ -373,14 +408,15 @@ def mass_matrix_scalar(robot: RobotStruct, q: jnp.ndarray) -> jnp.ndarray:
 
 
 def ldl_solve_scalar(H: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Solve H x = b for symmetric positive-definite H: [D, D], b: [D] —
-    fully unrolled LDL^T (no sqrt, no pivoting).
+    """Solve H x = b for symmetric positive-definite H: [D, D], b: [D]
+    (or trailing-batched H [D, D, B...], b [D, B...]) — fully unrolled
+    LDL^T (no sqrt, no pivoting).
 
     XLA's batched Cholesky on [B, D, D] stacks measures ~3.5 ms at B=4096
     D=7 on v5e; this unrolled form is pure elementwise math that fuses under
     vmap like everything else in this module (~50x cheaper).
     """
-    D = H.shape[-1]
+    D = H.shape[0]
     out_dtype = H.dtype
     # sub-float32 (bfloat16) elimination is numerically meaningless; compute
     # in float32 and cast back (same policy as dynamics.jax_sym_solve).

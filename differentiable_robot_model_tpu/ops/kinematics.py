@@ -26,7 +26,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from ..models.structs import RobotStruct
+from ..models.structs import JOINT_PRISMATIC, JOINT_REVOLUTE, RobotStruct
 from .lie import axis_angle_to_matrix, rpy_to_matrix
 
 
@@ -111,8 +111,7 @@ def fk_world_scalar(robot: RobotStruct, q: jnp.ndarray):
     """
     from .dynamics_scalar import _world_poses_scalar  # lazy: avoids cycle
 
-    q_link = robot.dof_select @ q
-    Rw, pw = _world_poses_scalar(robot, q_link)
+    Rw, pw = _world_poses_scalar(robot, q)
     R = jnp.stack([jnp.stack(r).reshape(3, 3) for r in Rw])
     p = jnp.stack([jnp.stack(t) for t in pw])
     return R, p
@@ -140,10 +139,13 @@ def fk_link_position(robot: RobotStruct, q: jnp.ndarray, link_idx: int) -> jnp.n
         l = robot.parent[l]
     chain = chain[::-1]
 
-    q_link = q @ robot.dof_select.T  # [..., L] (any leading batch shape)
-    dtype = q_link.dtype
-    one = jnp.ones(q_link.shape[:-1], dtype)
-    zero = jnp.zeros(q_link.shape[:-1], dtype)
+    # Joint values via STATIC link->dof indexing (exact selects; a
+    # dof_select matmul would ride the MXU's reduced-precision f32 path
+    # on TPU and cost a tiny-matmul dispatch).
+    link_dof = {l: d for d, l in enumerate(robot.dof_links)}
+    dtype = q.dtype
+    one = jnp.ones(q.shape[:-1], dtype)
+    zero = jnp.zeros(q.shape[:-1], dtype)
 
     # World rotation as 9 scalars, world position as 3 scalars.
     Rw = (one, zero, zero, zero, one, zero, zero, zero, one)
@@ -172,7 +174,9 @@ def fk_link_position(robot: RobotStruct, q: jnp.ndarray, link_idx: int) -> jnp.n
         f22 = cp * cr
 
         ax, ay, az = robot.axis[l, 0], robot.axis[l, 1], robot.axis[l, 2]
-        th = q_link[..., l] * robot.rev_mask[l]
+        jt = robot.joint_types[l]
+        qv = q[..., link_dof[l]] if jt != 0 else zero
+        th = qv if jt == JOINT_REVOLUTE else zero
         c, s = jnp.cos(th), jnp.sin(th)
         C = one - c
         # Rodrigues, expanded.
@@ -197,7 +201,7 @@ def fk_link_position(robot: RobotStruct, q: jnp.ndarray, link_idx: int) -> jnp.n
         r21 = f20 * j01 + f21 * j11 + f22 * j21
         r22 = f20 * j02 + f21 * j12 + f22 * j22
 
-        d = q_link[..., l] * robot.prism_mask[l]
+        d = qv if jt == JOINT_PRISMATIC else zero
         t0 = robot.trans[l, 0] + (f00 * ax + f01 * ay + f02 * az) * d
         t1 = robot.trans[l, 1] + (f10 * ax + f11 * ay + f12 * az) * d
         t2 = robot.trans[l, 2] + (f20 * ax + f21 * ay + f22 * az) * d
@@ -221,6 +225,23 @@ def fk_link_position(robot: RobotStruct, q: jnp.ndarray, link_idx: int) -> jnp.n
         )
 
     return jnp.stack(pw, axis=-1)
+
+
+def fk_link_position_dof_first(
+    robot: RobotStruct, qM: jnp.ndarray, link_idx: int
+) -> jnp.ndarray:
+    """World position of one link for dof-FIRST configs qM: [D, B...].
+
+    Returns [3, B...]. Zero-relayout entry for dof-major pipelines (the
+    batched MPC solvers keep every tensor [D or 3, ..., B] with the scenario
+    batch minor): the scalar topological sweep runs directly on [B] lanes.
+    Non-ancestor links' poses are dead-code-eliminated by XLA at trace time,
+    so this costs exactly the ancestor chain like `fk_link_position`.
+    """
+    from .dynamics_scalar import _world_poses_scalar  # lazy: avoids cycle
+
+    _, pw = _world_poses_scalar(robot, qM)
+    return jnp.stack(pw[link_idx])
 
 
 def world_joint_subspaces(robot: RobotStruct, R: jnp.ndarray, p: jnp.ndarray):

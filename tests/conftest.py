@@ -9,18 +9,36 @@ remains float32; tests exercise both).
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# Opt-in on-TPU mode: DRM_TPU_RUN_ON_TPU=1 leaves the backend alone so
+# tests/test_pallas_tpu.py can exercise the COMPILED Mosaic kernels on the
+# real chip (they are skipped unless the backend is tpu). Everything else
+# in the suite is designed for the virtual CPU mesh and should not be run
+# in this mode.
+_ON_TPU = os.environ.get("DRM_TPU_RUN_ON_TPU") == "1"
+
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if not _ON_TPU and "xla_force_host_platform_device_count" not in _flags:
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU's fusion emitter is pathological on the scalar-expanded dynamics
+# graphs (deep shared elementwise chains): a single RNEA VJP measures 200+ s
+# to compile WITH fusion and ~5 s without, on this 1-core host. Tests only
+# check numerics, so CPU fusion buys nothing here; disabling it cuts suite
+# compile time by an order of magnitude. (TPU compiles are unaffected —
+# tests are pinned to the CPU platform below.)
+if not _ON_TPU and "xla_disable_hlo_passes" not in _flags:
+    _flags = (_flags + " --xla_disable_hlo_passes=fusion").strip()
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 
-# The environment may pre-import jax with a hardware platform selected (e.g.
-# a TPU tunnel); jax.config wins over the env var in that case. Tests must
-# run on the local CPU with 8 virtual devices.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if not _ON_TPU:
+    # The environment may pre-import jax with a hardware platform selected
+    # (e.g. a TPU tunnel); jax.config wins over the env var in that case.
+    # Tests must run on the local CPU with 8 virtual devices.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: recompiling ~200 jitted variants (7 robots x
 # batch shapes x algorithms) dominates suite time otherwise.
