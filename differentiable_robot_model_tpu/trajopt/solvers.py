@@ -137,9 +137,9 @@ def solve_kinematic_adam_batch(
 
         fk_fn = lambda qM: fk_position_dof_major(robot, qM, ee_link_idx)
     else:
-        from ..ops.kinematics import fk_link_position
+        from ..ops.kinematics import fk_link_position_dof_first
 
-        fk_fn = lambda qM: fk_link_position(robot, qM.T, ee_link_idx).T
+        fk_fn = lambda qM: fk_link_position_dof_first(robot, qM, ee_link_idx)
 
     lo = robot.limit_lower[:, None, None]  # [D, 1, 1]
     hi = robot.limit_upper[:, None, None]
@@ -191,6 +191,225 @@ def solve_kinematic_adam_batch(
     )
     _, final_cost = cost_fn(aT)
     return BatchTrajOptResult(aT.transpose(2, 1, 0), final_cost, costs)
+
+
+# ---------------------------------------------------------------------------
+# Torque-space (dynamics-in-the-loop) trajectory optimization
+# ---------------------------------------------------------------------------
+
+
+def solve_dynamic_adam(
+    robot: RobotStruct,
+    q0: jnp.ndarray,  # [D]
+    qd0: jnp.ndarray,  # [D]
+    goal_ee_pos: jnp.ndarray,  # [3]
+    ee_link_idx: int,
+    horizon: int,
+    dt: float = 0.02,
+    n_iters: int = 10,
+    lr: float = 0.5,
+    goal_weight: float = 10.0,
+    effort_weight: float = 1e-4,
+    eps: float = 1e-8,
+    init_actions: jnp.ndarray | None = None,  # [H, D]
+    use_damping: bool = True,
+    precondition: bool = True,
+) -> TrajOptResult:
+    """Torque-space trajectory optimization: Adam on an applied-torque
+    sequence through the differentiable forward-dynamics rollout.
+
+    The dynamics-in-the-loop analogue of `solve_kinematic_adam`: the plant
+    is the full forward dynamics (mass matrix + bias torques + LDL solve,
+    all differentiated through), integrated semi-implicitly — far beyond
+    reference scope (its only trajopt workload is kinematic,
+    run_kinematic_trajectory_opt.py). Torques are parameterized as deltas
+    around the gravity-compensation torque at the start state, so the
+    zero-initialization holds the arm still and the rollout stays bounded.
+
+    `precondition=True` (default) optimizes in acceleration-like units and
+    maps to torques through the start-state mass matrix, tau = tau_ref +
+    H(q0) u (computed-torque preconditioning). Raw torque-space is badly
+    ill-conditioned for first-order methods — end-effector sensitivity to
+    wrist vs shoulder torque spans ~4 orders of magnitude, so any Adam lr
+    that moves the shoulder oscillates the wrist (measured: 16% of
+    scenarios improve in a 10-iteration replan budget unpreconditioned vs
+    95% preconditioned at H=50). Returned actions are absolute torques
+    either way.
+
+    Unbatched and vmappable; `solve_dynamic_adam_batch` is the engineered
+    dof-major twin (same math, verified equal in tests/test_trajopt.py).
+    """
+    from ..ops.dynamics_scalar import mass_matrix_scalar, rnea_scalar
+    from ..ops.kinematics import fk_link_position_dof_first
+    from .rollout import _velocity_bound, fd_step_implicit_damping
+
+    D_ = robot.n_dofs
+    H = horizon
+    dtype = robot.dtype
+    zeros = jnp.zeros_like(q0)
+    tau_ref = rnea_scalar(robot, q0, zeros, zeros)  # gravity compensation [D]
+    H0 = mass_matrix_scalar(robot, q0) if precondition else None
+    actions0 = (
+        jnp.asarray(init_actions, dtype)
+        if init_actions is not None
+        else jnp.zeros((H, D_), dtype) + 0.0 * q0
+    )
+
+    vmax = _velocity_bound(robot, 0)
+
+    def to_torque_deltas(a):
+        if H0 is None:
+            return a
+        return jnp.einsum(
+            "de,he->hd", H0, a, precision=jax.lax.Precision.HIGHEST
+        )
+
+    def cost_fn(actions):
+        dtau = to_torque_deltas(actions)
+        taus = tau_ref + dtau  # [H, D]
+
+        def step(carry, tau_t):
+            q, qd = carry
+            qdd = fd_step_implicit_damping(
+                robot, q, qd, tau_t, dt, use_damping=use_damping
+            )
+            qd_next = jnp.clip(qd + dt * qdd, -vmax, vmax)
+            q_next = q + dt * qd_next
+            return (q_next, qd_next), q_next
+
+        _, qs = jax.lax.scan(step, (q0, qd0), taus)  # [H, D]
+        p = fk_link_position_dof_first(robot, qs.T, ee_link_idx)  # [3, H]
+        err = goal_weight * (p - goal_ee_pos[:, None])
+        return jnp.mean(err * err) + effort_weight * jnp.mean(dtau * dtau)
+
+    opt = optax.adam(lr, eps=eps, eps_root=1e-8)
+
+    def iteration(carry, _):
+        actions, opt_state = carry
+        cost, grads = jax.value_and_grad(cost_fn)(actions)
+        updates, opt_state = opt.update(grads, opt_state)
+        actions = optax.apply_updates(actions, updates)
+        return (actions, opt_state), cost
+
+    (actions, _), costs = jax.lax.scan(
+        iteration, (actions0, opt.init(actions0)), None, length=n_iters
+    )
+    # length-1 scan for the final cost: see solve_dynamic_adam_batch for the
+    # XLA:TPU compile-time rationale.
+    _, final_cost = jax.lax.scan(
+        lambda c, _: (c, cost_fn(c)), actions, None, length=1
+    )
+    return TrajOptResult(
+        tau_ref + to_torque_deltas(actions), final_cost[0], costs
+    )
+
+
+def solve_dynamic_adam_batch(
+    robot: RobotStruct,
+    q0: jnp.ndarray,  # [B, D]
+    qd0: jnp.ndarray,  # [B, D]
+    goal_ee_pos: jnp.ndarray,  # [B, 3]
+    ee_link_idx: int,
+    horizon: int,
+    dt: float = 0.02,
+    n_iters: int = 10,
+    lr: float = 0.5,
+    goal_weight: float = 10.0,
+    effort_weight: float = 1e-4,
+    eps: float = 1e-8,
+    init_actions: jnp.ndarray | None = None,  # [B, H, D] warm start
+    use_damping: bool = True,
+    precondition: bool = True,
+) -> BatchTrajOptResult:
+    """Dof-major batched torque-space MPC solve (the dynamics flagship).
+
+    Same math as vmap(solve_dynamic_adam) but engineered for the TPU memory
+    system like `solve_kinematic_adam_batch`: every tensor is dof-major
+    ([D, ..., B], scenario batch minor) so the trailing-batch scalar
+    dynamics (ops/dynamics_scalar.py — RNEA bias, scalar CRB mass matrix,
+    unrolled LDL^T, all on [B] lanes) and the dof-first FK run with zero
+    transposes, and the whole solve — rollout, cost, reverse-mode gradients
+    through H sequential forward-dynamics steps, Adam updates — is ONE
+    jitted `lax.scan` program. No matmuls anywhere on this path, so CPU and
+    TPU backends agree to accumulated elementwise roundoff (the bench
+    parity gate).
+
+    Returns actions as the full applied torques [B, H, D] (gravity-comp
+    reference + optimized deltas), matching `solve_dynamic_adam`.
+    """
+    from ..ops.dynamics_scalar import mass_matrix_scalar, rnea_scalar
+    from ..ops.kinematics import fk_link_position_dof_first
+    from .rollout import dynamic_rollout_dof_major
+
+    B, D_ = q0.shape
+    H = horizon
+    dtype = robot.dtype
+
+    q0T = q0.T  # [D, B]
+    qd0T = qd0.T
+    goalT = goal_ee_pos.T  # [3, B]
+    zerosT = jnp.zeros_like(q0T)
+    tau_refT = rnea_scalar(robot, q0T, zerosT, zerosT)  # [D, B]
+    H0 = mass_matrix_scalar(robot, q0T) if precondition else None  # [D, D, B]
+
+    def to_torque_deltas(aT):
+        if H0 is None:
+            return aT
+        # computed-torque preconditioning (see solve_dynamic_adam): tiny
+        # per-scenario [D, D] matvec, batch minor — HIGHEST keeps the MXU
+        # contraction at f32 for cross-backend parity.
+        return jnp.einsum(
+            "deb,heb->hdb", H0, aT, precision=jax.lax.Precision.HIGHEST
+        )
+
+    def cost_fn(aT):  # aT: [H, D, B] acceleration-unit action deltas
+        dtau = to_torque_deltas(aT)
+        tauT = tau_refT + dtau
+        qs, _ = dynamic_rollout_dof_major(
+            robot, q0T, qd0T, tauT, dt, use_damping=use_damping
+        )
+        p = fk_link_position_dof_first(
+            robot, qs.transpose(1, 0, 2).reshape(D_, H * B), ee_link_idx
+        ).reshape(3, H, B)
+        err = goal_weight * (p - goalT[:, None, :])
+        cost_b = jnp.mean(err * err, axis=(0, 1)) + effort_weight * jnp.mean(
+            dtau * dtau, axis=(0, 1)
+        )
+        return jnp.sum(cost_b), cost_b
+
+    if init_actions is not None:
+        aT0 = jnp.asarray(init_actions, dtype).transpose(1, 2, 0)  # [H, D, B]
+    else:
+        # Data-dependent zeros (0*q0T term): see solve_kinematic_adam_batch
+        # for the shard_map constant-hoist hazard this avoids.
+        aT0 = jnp.zeros((H, D_, 1), dtype) + 0.0 * q0T[None]
+
+    opt = optax.adam(lr, eps=eps, eps_root=1e-8)
+
+    def iteration(carry, _):
+        aT, opt_state = carry
+        (_, cost_b), grads = jax.value_and_grad(cost_fn, has_aux=True)(aT)
+        updates, opt_state = opt.update(grads, opt_state)
+        aT = optax.apply_updates(aT, updates)
+        return (aT, opt_state), cost_b
+
+    (aT, _), costs = jax.lax.scan(
+        iteration, (aT0, opt.init(aT0)), None, length=n_iters
+    )
+    # Final-cost evaluation wrapped in a length-1 scan: XLA:TPU compiles the
+    # big rollout+FK graph an order of magnitude faster as a scan body than
+    # inlined at top level (measured 44 s vs ~586 s for this exact graph at
+    # B=1024, H=50 on v5e), and the iteration scan above already pays the
+    # scan-body compile once — this reuses that regime instead of adding a
+    # second, slower-compiling copy of the graph.
+    _, final_cost = jax.lax.scan(
+        lambda c, _: (c, cost_fn(c)[1]), aT, None, length=1
+    )
+    return BatchTrajOptResult(
+        (tau_refT[None] + to_torque_deltas(aT)).transpose(2, 0, 1),
+        final_cost[0],
+        costs,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -336,6 +555,7 @@ def ilqr(
     reg: float = 1e-6,
     line_search_alphas: tuple = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01),
     riccati: str = "sequential",
+    riccati_mesh=None,
 ) -> ILQRResult:
     """Iterative LQR over generic dynamics x' = f(x, u) and costs.
 
@@ -345,9 +565,20 @@ def ilqr(
     sequential Armijo loop — trading a little extra compute for zero
     data-dependent control flow, which is the right trade on TPU.
     No reference analog (the reference only has first-order trajopt).
+
+    `riccati` selects the backward-pass factorization:
+    - "sequential": the textbook reverse lax.scan recursion;
+    - "parallel": single-device log-depth associative scan
+      (_parallel_riccati_gains);
+    - "horizon_sharded": the associative scan DISTRIBUTED over
+      `riccati_mesh`'s horizon axis — each device scans its block of
+      stages, one small all-gather composes blocks (parallel/horizon.py).
+      All three produce identical gains (tests/test_parallel.py).
     """
     H, m = us_init.shape
     n = x0.shape[0]
+    if riccati == "horizon_sharded" and riccati_mesh is None:
+        raise ValueError("riccati='horizon_sharded' requires riccati_mesh")
 
     f_x = jax.vmap(jax.jacobian(dynamics, argnums=0))
     f_u = jax.vmap(jax.jacobian(dynamics, argnums=1))
@@ -369,10 +600,16 @@ def ilqr(
         Vx = jax.grad(final_cost)(xs[-1])
         Vxx = jax.hessian(final_cost)(xs[-1])
 
-        if riccati == "parallel":
+        if riccati in ("parallel", "horizon_sharded"):
             # The sequential recursion regularizes Quu with lam*I, which is
             # exactly equivalent to replacing luu <- luu + lam*I throughout.
             luu_reg = luu + lam * jnp.eye(m, dtype=us.dtype)
+            if riccati == "horizon_sharded":
+                from ..parallel.horizon import riccati_gains_horizon_sharded
+
+                return riccati_gains_horizon_sharded(
+                    riccati_mesh, A, B, lx, lu, lxx, luu_reg, lux, Vx, Vxx
+                )
             return _parallel_riccati_gains(
                 A, B, lx, lu, lxx, luu_reg, lux, Vx, Vxx
             )
@@ -431,9 +668,67 @@ def ilqr(
 
     xs0 = _rollout(dynamics, x0, us_init)
     cost0 = _total_cost(cost, final_cost, xs0, us_init)
-    lam0 = jnp.asarray(max(reg, 1e-3), us_init.dtype)
+    # 0*cost0 ties lam0 to the data so its varying-axes type matches the
+    # loop output under shard_map (a bare constant carry is "unvarying" and
+    # scan rejects the mismatch; same family as the zeros-init hazard in
+    # solve_kinematic_adam_batch).
+    lam0 = jnp.asarray(max(reg, 1e-3), us_init.dtype) + 0.0 * cost0
     (xs, us, final, _), history = jax.lax.scan(
         iteration, (xs0, us_init, cost0, lam0), None, length=n_iters
     )
     # history[0] is the cost *before* any iteration; history[i] after i iters.
     return ILQRResult(xs, us, final, jnp.concatenate([cost0[None], history]))
+
+
+def ilqr_batch(
+    dynamics: Callable,
+    cost: Callable,
+    final_cost: Callable,
+    x0s: jnp.ndarray,  # [B, n]
+    us_init: jnp.ndarray,  # [B, H, m]
+    n_iters: int = 10,
+    reg: float = 1e-6,
+    line_search_alphas: tuple = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01),
+    riccati: str = "sequential",
+    mesh=None,
+    axis_name: str = "scenario",
+) -> ILQRResult:
+    """B independent iLQR solves as ONE jitted program (vmapped), optionally
+    sharded over a device mesh's scenario axis.
+
+    The scenario axis is embarrassingly parallel: with `mesh` given, the
+    whole batched solve runs under `shard_map` with zero collectives — each
+    device owns B/n_devices scenarios end-to-end (the same scaling layout
+    as parallel/mesh.py:sharded_kinematic_mpc). `riccati` may be
+    "sequential" or "parallel" (the per-scenario horizon-sharded backward
+    pass does not compose with vmap; for single-scenario long horizons use
+    `ilqr(riccati="horizon_sharded")` directly).
+
+    Returns an ILQRResult of stacked leaves: xs [B, H+1, n], us [B, H, m],
+    cost [B], cost_history [B, n_iters+1].
+    """
+    if riccati == "horizon_sharded":
+        raise ValueError(
+            "horizon_sharded does not compose with the vmapped scenario "
+            "batch; use ilqr() per scenario or riccati='parallel' here"
+        )
+
+    solve_one = lambda x0, us0: ilqr(
+        dynamics, cost, final_cost, x0, us0,
+        n_iters=n_iters, reg=reg,
+        line_search_alphas=line_search_alphas, riccati=riccati,
+    )
+    batched = jax.vmap(solve_one)
+    if mesh is None:
+        return batched(x0s, us_init)
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    f = shard_map(
+        lambda a, b: batched(a, b),
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name)),
+        out_specs=P(axis_name),
+    )
+    return ILQRResult(*f(x0s, us_init))
