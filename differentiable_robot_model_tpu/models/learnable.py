@@ -103,10 +103,7 @@ class LearnableSet:
             leaf = updates.get(field, getattr(struct, field))
             value = jnp.asarray(value, leaf.dtype).reshape(shape)
             updates[field] = leaf.at[idx].set(value)
-        # Overlaid arrays are no longer the build-time constants: clear the
-        # static kernel-specialization hints they back (see RobotStruct).
-        if "rot_angles" in updates:
-            updates["rpy_zero"] = (False,) * len(struct.rpy_zero)
-        if "trans" in updates:
-            updates["trans_zero"] = ((False,) * 3,) * len(struct.trans_zero)
-        return dataclasses.replace(struct, **updates)
+        # with_arrays is the sanctioned mutation path: it recomputes (or
+        # clears, for traced overlays) the static kernel-specialization
+        # hints backed by the replaced arrays (see RobotStruct.with_arrays).
+        return struct.with_arrays(**updates)

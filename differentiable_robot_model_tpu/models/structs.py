@@ -50,6 +50,46 @@ def joint_type_code(urdf_type: str) -> int:
     return _JOINT_TYPE_CODES[urdf_type]
 
 
+def _is_concrete(x) -> bool:
+    return not isinstance(x, jax.core.Tracer)
+
+
+def _axis_codes_of(axis) -> tuple:
+    """(axis_index, sign) per link when the axis is exactly an axis-aligned
+    unit vector, else None; all-None when traced."""
+    if not _is_concrete(axis):
+        return (None,) * axis.shape[0]
+    axis_np = np.asarray(axis, np.float64)
+    codes = []
+    for l in range(axis_np.shape[0]):
+        code = None
+        for i in range(3):
+            for s in (1.0, -1.0):
+                unit = np.zeros(3)
+                unit[i] = s
+                if np.array_equal(axis_np[l], unit):
+                    code = (i, int(s))
+        codes.append(code)
+    return tuple(codes)
+
+
+def _rpy_zero_of(rot_angles) -> tuple:
+    if not _is_concrete(rot_angles):
+        return (False,) * rot_angles.shape[0]
+    rpy_np = np.asarray(rot_angles, np.float64)
+    return tuple(bool((rpy_np[l] == 0.0).all()) for l in range(rpy_np.shape[0]))
+
+
+def _trans_zero_of(trans) -> tuple:
+    if not _is_concrete(trans):
+        return ((False,) * 3,) * trans.shape[0]
+    trans_np = np.asarray(trans, np.float64)
+    return tuple(
+        tuple(bool(trans_np[l, j] == 0.0) for j in range(3))
+        for l in range(trans_np.shape[0])
+    )
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class RobotStruct:
@@ -112,6 +152,27 @@ class RobotStruct:
         cast = {k: jnp.asarray(v, dtype) for k, v in leaves.items()}
         return dataclasses.replace(self, **cast)
 
+    def with_arrays(self, **updates) -> "RobotStruct":
+        """dataclasses.replace that keeps the static kernel-specialization
+        hints consistent with the new arrays.
+
+        Replacing `axis`, `rot_angles`, or `trans` via bare
+        `dataclasses.replace` leaves `axis_code`/`rpy_zero`/`trans_zero`
+        stale, and the trace-time-specialized Pallas kernels would silently
+        bake the OLD values (round-1 advisor finding). This is the
+        sanctioned mutation path: hints are recomputed from concrete new
+        arrays, or cleared (no specialization) when the new array is traced.
+        """
+        struct = dataclasses.replace(self, **updates)
+        hints = {}
+        if "axis" in updates:
+            hints["axis_code"] = _axis_codes_of(struct.axis)
+        if "rot_angles" in updates:
+            hints["rpy_zero"] = _rpy_zero_of(struct.rot_angles)
+        if "trans" in updates:
+            hints["trans_zero"] = _trans_zero_of(struct.trans)
+        return dataclasses.replace(struct, **hints) if hints else struct
+
     def link_index(self, link_name: str) -> int:
         try:
             return self.link_names.index(link_name)
@@ -166,23 +227,9 @@ def build_struct(
     damping = damping_per_link[dof_links] if D else np.zeros((0,))
     limits = limits_per_link[dof_links] if D else np.zeros((0, 4))
 
-    axis_np = np.asarray(axis, np.float64)
-    rpy_np = np.asarray(rot_angles, np.float64)
-    axis_code = []
-    for l in range(L):
-        code = None
-        for i in range(3):
-            for s in (1.0, -1.0):
-                unit = np.zeros(3)
-                unit[i] = s
-                if np.array_equal(axis_np[l], unit):
-                    code = (i, int(s))
-        axis_code.append(code)
-    rpy_zero = tuple(bool((rpy_np[l] == 0.0).all()) for l in range(L))
-    trans_np = np.asarray(trans, np.float64)
-    trans_zero = tuple(
-        tuple(bool(trans_np[l, j] == 0.0) for j in range(3)) for l in range(L)
-    )
+    axis_code = _axis_codes_of(np.asarray(axis, np.float64))
+    rpy_zero = _rpy_zero_of(np.asarray(rot_angles, np.float64))
+    trans_zero = _trans_zero_of(np.asarray(trans, np.float64))
 
     as_arr = lambda x: jnp.asarray(np.asarray(x), dtype)
     return RobotStruct(
@@ -204,7 +251,7 @@ def build_struct(
         parent=tuple(parent),
         joint_types=tuple(joint_types),
         dof_links=tuple(dof_links),
-        axis_code=tuple(axis_code),
+        axis_code=axis_code,
         rpy_zero=rpy_zero,
         trans_zero=trans_zero,
         link_names=tuple(link_names),

@@ -81,11 +81,16 @@ def _concrete_consts(robot):
     float immediate (0.43 ms vs 0.018 ms for ~200 ops over 200k configs), so
     immediates turn the whole chain into full-rate VPU code. When the robot
     is a tracer (e.g. differentiating w.r.t. robot parameters), the kernels
-    read constants from refs instead.
+    read constants from refs instead. Gated to float32 structs: immediates
+    are baked as float32, which would silently downcast a float64 robot
+    (round-1 advisor finding) — non-f32 structs use the refs path, which
+    keeps the arrays' own precision.
     """
     try:
         import numpy as _np
 
+        if _np.dtype(robot.dtype) != _np.float32:
+            return None
         f32 = lambda x: _np.asarray(x, _np.float32)
         return {
             "trans": f32(robot.trans),
@@ -377,23 +382,52 @@ def _fk_dof_major_frozen(robot: RobotStruct, link_idx: int):
     return f
 
 
+def _unwrap_primal(p):
+    """CustomVJPPrimal pytree -> (values pytree, any-leaf-perturbed)."""
+    leaves = jax.tree_util.tree_leaves(
+        p, is_leaf=lambda x: hasattr(x, "perturbed")
+    )
+    vals = jax.tree_util.tree_map(
+        lambda x: x.value, p, is_leaf=lambda x: hasattr(x, "perturbed")
+    )
+    return vals, any(l.perturbed for l in leaves)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _fk_dof_major_traced(robot: RobotStruct, qM: jnp.ndarray, link_idx: int):
     return _dm_run_fwd(robot, _chain_to(robot, link_idx), qM)
 
 
-def _dm_vjp_fwd(robot, qM, link_idx):
-    return _fk_dof_major_traced(robot, qM, link_idx), (robot, qM)
+def _dm_vjp_fwd(robot_p, qM_p, link_idx):
+    # symbolic_zeros mode: arguments arrive as CustomVJPPrimal leaves carrying
+    # a .perturbed flag. When the caller demands robot-parameter cotangents
+    # (identification through an fk_impl="pallas" solve), the geometric-
+    # Jacobian kernel backward cannot provide them — so this path falls back
+    # to the differentiable scalar FK (value AND vjp), instead of silently
+    # returning zero robot gradients (round-1 advisor finding).
+    robot, robot_perturbed = _unwrap_primal(robot_p)
+    qM, _ = _unwrap_primal(qM_p)
+    if robot_perturbed:
+        from ..kinematics import fk_link_position_dof_first
+
+        out, vjp_fn = jax.vjp(
+            lambda r, x: fk_link_position_dof_first(r, x, link_idx), robot, qM
+        )
+        return out, (vjp_fn, None)
+    return _dm_run_fwd(robot, _chain_to(robot, link_idx), qM), (None, (robot, qM))
 
 
 def _dm_vjp_bwd(link_idx, res, g):
-    robot, qM = res
+    vjp_fn, plain = res
+    if plain is None:
+        return vjp_fn(g)
+    robot, qM = plain
     dq = _dm_run_bwd(robot, _chain_to(robot, link_idx), qM, g)
     zeros = jax.tree_util.tree_map(jnp.zeros_like, robot)
     return zeros, dq
 
 
-_fk_dof_major_traced.defvjp(_dm_vjp_fwd, _dm_vjp_bwd)
+_fk_dof_major_traced.defvjp(_dm_vjp_fwd, _dm_vjp_bwd, symbolic_zeros=True)
 
 
 def fk_position_dof_major(robot: RobotStruct, qM: jnp.ndarray, link_idx: int):
@@ -424,21 +458,34 @@ def fk_link_position_pallas(robot: RobotStruct, q: jnp.ndarray, link_idx: int):
     """World position of link `link_idx` for a flat config batch q: [N, D].
 
     Fused single-kernel forward; geometric-Jacobian single-kernel backward
-    (w.r.t. q only — robot parameters get zero cotangents on this path; use
-    the XLA scalar path for parameter identification).
+    w.r.t. q. When robot-parameter cotangents are demanded, the whole call
+    falls back to the differentiable scalar FK (exact parameter gradients)
+    instead of silently returning zeros — see _dm_vjp_fwd.
     """
     return _fk_pallas_fwd_impl(robot, q, link_idx)
 
 
-def _vjp_fwd(robot, q, link_idx):
-    return _fk_pallas_fwd_impl(robot, q, link_idx), (robot, q)
+def _vjp_fwd(robot_p, q_p, link_idx):
+    robot, robot_perturbed = _unwrap_primal(robot_p)
+    q, _ = _unwrap_primal(q_p)
+    if robot_perturbed:
+        from ..kinematics import fk_link_position
+
+        out, vjp_fn = jax.vjp(
+            lambda r, x: fk_link_position(r, x, link_idx), robot, q
+        )
+        return out, (vjp_fn, None)
+    return _fk_pallas_fwd_impl(robot, q, link_idx), (None, (robot, q))
 
 
 def _vjp_bwd(link_idx, res, g):
-    robot, q = res
+    vjp_fn, plain = res
+    if plain is None:
+        return vjp_fn(g)
+    robot, q = plain
     dq = _fk_pallas_bwd_impl(robot, q, g, link_idx)
     zeros = jax.tree_util.tree_map(jnp.zeros_like, robot)
     return zeros, dq
 
 
-fk_link_position_pallas.defvjp(_vjp_fwd, _vjp_bwd)
+fk_link_position_pallas.defvjp(_vjp_fwd, _vjp_bwd, symbolic_zeros=True)

@@ -42,8 +42,12 @@ from .fk import (
 
 
 def _concrete_consts(robot):
-    """numpy copies of all per-link constants, or None if traced."""
+    """numpy copies of all per-link constants, or None if traced (or when
+    the struct is not float32 — immediates bake as f32 and would silently
+    downcast a float64 robot; the refs path keeps array precision)."""
     try:
+        if np.dtype(robot.dtype) != np.float32:
+            return None
         f32 = lambda x: np.asarray(x, np.float32)
         inertia = np.asarray(robot.inertia_com, np.float32)
         return {
