@@ -63,6 +63,15 @@ def riccati_gains_horizon_sharded(
     H, n = A.shape[0], A.shape[1]
     m = B.shape[2]
     dtype = A.dtype
+    if axis_name not in mesh.shape:
+        if len(mesh.axis_names) == 1:
+            # Any 1-D mesh works regardless of what its axis is called
+            # (e.g. the scenario mesh reused for a horizon-sharded solve).
+            axis_name = mesh.axis_names[0]
+        else:
+            raise KeyError(
+                f"mesh has no '{axis_name}' axis (axes: {mesh.axis_names})"
+            )
     n_dev = mesh.shape[axis_name]
     eye = jnp.eye(n, dtype=dtype)
 
@@ -116,13 +125,14 @@ def riccati_gains_horizon_sharded(
         )
         return shifted
 
-    shifted = jax.jit(
-        shard_map(
-            local,
-            mesh=mesh,
-            in_specs=(jax.tree_util.tree_map(lambda _: P(axis_name), elems),),
-            out_specs=jax.tree_util.tree_map(lambda _: P(axis_name), elems),
-        )
+    # No jit wrapper: this composes under an outer jit/scan (e.g. inside
+    # ilqr's iteration loop with riccati="horizon_sharded") where a nested
+    # jit would be inlined anyway, and works eagerly for direct calls.
+    shifted = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(jax.tree_util.tree_map(lambda _: P(axis_name), elems),),
+        out_specs=jax.tree_util.tree_map(lambda _: P(axis_name), elems),
     )(elems)
 
     P_suf = shifted[4][:H]  # J of V_{k+1}
