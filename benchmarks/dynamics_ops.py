@@ -1,0 +1,162 @@
+"""Dynamics-op throughput bake-off on the real chip: scalar-XLA vs Pallas.
+
+SURVEY.md §7 step 4 prescribes measuring each hot op both ways and keeping
+the winner per shape; VERDICT round 1 required recording the table (the
+Pallas RNEA kernel was built and tested but never measured on hardware).
+
+Measures, at several batch sizes, pipelined throughput (dispatch a stream,
+block once — per-call blocking would measure the ~25 ms dev-tunnel
+roundtrip; see utils/profiling.py):
+
+- ID  (inverse dynamics): vmapped scalar RNEA [B,D] vs fused Pallas kernel
+- FK  (one link's world position): scalar chain FK vs fused Pallas kernel
+- H   (mass matrix): vmapped scalar CRB (no Pallas variant — all-elementwise)
+- FD  (forward dynamics): vmapped scalar CRB+LDL (no Pallas variant)
+- ID/FD dof-major trailing-batch [D,B] variants (the MPC-solver layout)
+
+Emits one JSON line per row plus a summary object; run on the TPU to
+populate the BASELINE.md dynamics-ops table:
+
+    python benchmarks/dynamics_ops.py [--out DYNOPS.json]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _throughput(fn, args, reps=20, windows=3):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)  # compile
+    times = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / reps)
+    return min(times)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--batches", default="1024,4096,8192,16384,65536")
+    ap.add_argument("--reps", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import differentiable_robot_model_tpu as drm
+    from differentiable_robot_model_tpu.ops.dynamics_scalar import (
+        forward_dynamics_scalar,
+        mass_matrix_scalar,
+        rnea_scalar,
+    )
+    from differentiable_robot_model_tpu.ops.kinematics import (
+        fk_link_position,
+        fk_link_position_dof_first,
+    )
+    from differentiable_robot_model_tpu.ops.pallas.fk import (
+        fk_link_position_pallas,
+        fk_position_dof_major,
+    )
+    from differentiable_robot_model_tpu.ops.pallas.rnea import rnea_pallas
+
+    backend = jax.default_backend()
+    struct = drm.DifferentiableKUKAiiwa().struct
+    ee = struct.link_index("iiwa_link_ee")
+    rows = []
+
+    for B in [int(x) for x in args.batches.split(",")]:
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.uniform(-1, 1, (B, 7)), jnp.float32)
+        qd = jnp.asarray(rng.uniform(-1, 1, (B, 7)), jnp.float32)
+        qdd = jnp.asarray(rng.uniform(-1, 1, (B, 7)), jnp.float32)
+        qT, qdT, qddT = q.T, qd.T, qdd.T
+
+        cases = {
+            "id_scalar_vmap": (
+                jax.jit(lambda a, b, c: jax.vmap(
+                    lambda x, y, z: rnea_scalar(struct, x, y, z))(a, b, c)),
+                (q, qd, qdd),
+            ),
+            "id_scalar_dof_major": (
+                jax.jit(lambda a, b, c: rnea_scalar(struct, a, b, c)),
+                (qT, qdT, qddT),
+            ),
+            "id_pallas": (
+                jax.jit(lambda a, b, c: rnea_pallas(struct, a, b, c)),
+                (q, qd, qdd),
+            ),
+            "fk_scalar": (
+                jax.jit(lambda a: fk_link_position(struct, a, ee)),
+                (q,),
+            ),
+            "fk_scalar_dof_major": (
+                jax.jit(lambda a: fk_link_position_dof_first(struct, a, ee)),
+                (qT,),
+            ),
+            "fk_pallas": (
+                jax.jit(lambda a: fk_link_position_pallas(struct, a, ee)),
+                (q,),
+            ),
+            "fk_pallas_dof_major": (
+                jax.jit(lambda a: fk_position_dof_major(struct, a, ee)),
+                (qT,),
+            ),
+            "h_scalar_vmap": (
+                jax.jit(lambda a: jax.vmap(
+                    lambda x: mass_matrix_scalar(struct, x))(a)),
+                (q,),
+            ),
+            "h_scalar_dof_major": (
+                jax.jit(lambda a: mass_matrix_scalar(struct, a)),
+                (qT,),
+            ),
+            "fd_scalar_vmap": (
+                jax.jit(lambda a, b, c: jax.vmap(
+                    lambda x, y, z: forward_dynamics_scalar(struct, x, y, z))(a, b, c)),
+                (q, qd, qdd),
+            ),
+            "fd_scalar_dof_major": (
+                jax.jit(lambda a, b, c: forward_dynamics_scalar(struct, a, b, c)),
+                (qT, qdT, qddT),
+            ),
+        }
+        if backend != "tpu":
+            # Pallas kernels need the chip (or interpret mode, which is not
+            # a performance measurement) — skip them off-TPU.
+            cases = {k: v for k, v in cases.items() if "pallas" not in k}
+
+        for name, (fn, a) in cases.items():
+            try:
+                dt = _throughput(fn, a, reps=args.reps)
+            except Exception as exc:  # record the failure, keep the sweep
+                rows.append({"op": name, "B": B, "error": str(exc)[:200]})
+                continue
+            row = {
+                "op": name,
+                "B": B,
+                "ms": round(dt * 1e3, 4),
+                "configs_per_s": round(B / dt, 1),
+            }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+
+    summary = {"backend": backend, "robot": "iiwa7", "rows": rows}
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=1)
+    print(json.dumps({"metric": "dynamics_ops_bakeoff", "backend": backend,
+                      "n_rows": len(rows)}))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

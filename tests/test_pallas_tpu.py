@@ -1,0 +1,179 @@
+"""COMPILED Mosaic kernel validation on the real TPU chip (opt-in).
+
+The main suite runs the Pallas kernels in interpret mode on CPU
+(tests/test_pallas.py); interpret mode checks the math but not the Mosaic
+compilation. This module closes that gap: run with
+
+    DRM_TPU_RUN_ON_TPU=1 python -m pytest tests/test_pallas_tpu.py -q
+
+on a host with a TPU attached (the conftest skips its CPU pin in that
+mode). Every test is skipped unless the default backend is tpu.
+
+Covers (VERDICT round-1 item 4): compiled FK/RNEA kernels vs the scalar-XLA
+path at several batch sizes including non-tile-multiples, VJPs vs finite
+differences, and the frozen (concrete-struct) vs traced (struct-as-argument)
+paths.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from differentiable_robot_model_tpu import (
+    DifferentiableFrankaPanda,
+    DifferentiableKUKAiiwa,
+)
+from differentiable_robot_model_tpu.ops.dynamics_scalar import rnea_scalar
+from differentiable_robot_model_tpu.ops.kinematics import (
+    fk_link_position,
+    fk_link_position_dof_first,
+)
+from differentiable_robot_model_tpu.ops.pallas.fk import (
+    fk_link_position_pallas,
+    fk_position_dof_major,
+)
+from differentiable_robot_model_tpu.ops.pallas.rnea import rnea_pallas
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="compiled-kernel tests need the TPU backend "
+    "(run with DRM_TPU_RUN_ON_TPU=1 on a TPU host)",
+)
+
+# Batch sizes: tile-multiple (8192 = TILE_B), sub-tile, and ragged.
+BATCHES = [256, 4096, 8192, 8200, 20000]
+
+
+@pytest.fixture(scope="module")
+def iiwa():
+    return DifferentiableKUKAiiwa().struct
+
+
+@pytest.fixture(scope="module")
+def panda():
+    return DifferentiableFrankaPanda().struct
+
+
+def _rand(B, D, seed=0, scale=1.0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.uniform(-scale, scale, (B, D)), jnp.float32)
+
+
+@pytest.mark.parametrize("B", BATCHES)
+def test_compiled_fk_matches_scalar(iiwa, B):
+    ee = iiwa.link_index("iiwa_link_ee")
+    q = _rand(B, 7)
+    p_k = np.asarray(jax.jit(lambda x: fk_link_position_pallas(iiwa, x, ee))(q))
+    p_s = np.asarray(jax.jit(lambda x: fk_link_position(iiwa, x, ee))(q))
+    assert np.allclose(p_k, p_s, atol=2e-6)
+
+
+@pytest.mark.parametrize("B", BATCHES)
+def test_compiled_fk_dof_major_matches_scalar(iiwa, B):
+    ee = iiwa.link_index("iiwa_link_ee")
+    qT = _rand(B, 7, seed=1).T
+    p_k = np.asarray(jax.jit(lambda x: fk_position_dof_major(iiwa, x, ee))(qT))
+    p_s = np.asarray(jax.jit(lambda x: fk_link_position_dof_first(iiwa, x, ee))(qT))
+    assert np.allclose(p_k, p_s, atol=2e-6)
+
+
+@pytest.mark.parametrize("B", [256, 8192, 8200])
+def test_compiled_rnea_matches_scalar(iiwa, B):
+    q, qd, qdd = _rand(B, 7, 2), _rand(B, 7, 3), _rand(B, 7, 4)
+    t_k = np.asarray(jax.jit(lambda a, b, c: rnea_pallas(iiwa, a, b, c))(q, qd, qdd))
+    t_s = np.asarray(
+        jax.jit(
+            lambda a, b, c: jax.vmap(lambda x, y, z: rnea_scalar(iiwa, x, y, z))(
+                a, b, c
+            )
+        )(q, qd, qdd)
+    )
+    # absolute torques reach ~1e2 Nm; 1e-3 is fp32 roundoff at that scale
+    assert np.allclose(t_k, t_s, atol=2e-3, rtol=1e-5)
+
+
+def test_compiled_rnea_panda_branchless(panda):
+    q, qd, qdd = _rand(512, 7, 5), _rand(512, 7, 6), _rand(512, 7, 7)
+    t_k = np.asarray(jax.jit(lambda a, b, c: rnea_pallas(panda, a, b, c))(q, qd, qdd))
+    t_s = np.asarray(
+        jax.vmap(lambda x, y, z: rnea_scalar(panda, x, y, z))(q, qd, qdd)
+    )
+    assert np.allclose(t_k, t_s, atol=2e-3, rtol=1e-5)
+
+
+def test_compiled_fk_vjp_vs_finite_differences(iiwa):
+    ee = iiwa.link_index("iiwa_link_ee")
+    B = 64
+    q = _rand(B, 7, seed=8, scale=0.8)
+    g = _rand(B, 3, seed=9)
+
+    loss = jax.jit(
+        lambda x: jnp.sum(fk_link_position_pallas(iiwa, x, ee) * g)
+    )
+    grad = np.asarray(jax.jit(jax.grad(loss))(q))
+    eps = 1e-3
+    rng = np.random.default_rng(10)
+    for _ in range(5):
+        d = rng.normal(size=(B, 7)).astype(np.float32)
+        d /= np.linalg.norm(d)
+        fd = (float(loss(q + eps * d)) - float(loss(q - eps * d))) / (2 * eps)
+        an = float(np.sum(grad * d))
+        assert abs(fd - an) < 5e-2 * max(1.0, abs(an))
+
+
+def test_compiled_rnea_vjp_vs_finite_differences(iiwa):
+    B = 64
+    q, qd, qdd = _rand(B, 7, 11, 0.8), _rand(B, 7, 12, 0.5), _rand(B, 7, 13, 0.5)
+    g = _rand(B, 7, seed=14)
+
+    loss = jax.jit(lambda a: jnp.sum(rnea_pallas(iiwa, a, qd, qdd) * g))
+    grad = np.asarray(jax.jit(jax.grad(loss))(q))
+    eps = 1e-3
+    rng = np.random.default_rng(15)
+    for _ in range(3):
+        d = rng.normal(size=(B, 7)).astype(np.float32)
+        d /= np.linalg.norm(d)
+        fd = (float(loss(q + eps * d)) - float(loss(q - eps * d))) / (2 * eps)
+        an = float(np.sum(grad * d))
+        assert abs(fd - an) < 5e-2 * max(1.0, abs(an))
+
+
+def test_traced_struct_path_compiles_and_matches(iiwa):
+    """Struct passed as a jit ARGUMENT (traced; refs path, no immediates)
+    must compile on the chip and agree with the frozen path."""
+    ee = iiwa.link_index("iiwa_link_ee")
+    q = _rand(1024, 7, seed=16)
+
+    frozen = jax.jit(lambda x: fk_link_position_pallas(iiwa, x, ee))(q)
+    traced = jax.jit(lambda r, x: fk_link_position_pallas(r, x, ee))(iiwa, q)
+    assert np.allclose(np.asarray(frozen), np.asarray(traced), atol=2e-6)
+
+    qd, qdd = _rand(1024, 7, 17), _rand(1024, 7, 18)
+    frozen_t = jax.jit(lambda a, b, c: rnea_pallas(iiwa, a, b, c))(q, qd, qdd)
+    traced_t = jax.jit(lambda r, a, b, c: rnea_pallas(r, a, b, c))(iiwa, q, qd, qdd)
+    assert np.allclose(np.asarray(frozen_t), np.asarray(traced_t), atol=2e-3)
+
+
+def test_dynamic_mpc_solver_runs_on_chip(iiwa):
+    """The dynamics-in-the-loop batched solver (the bench's second flagship)
+    compiles and produces finite, improving costs on the real chip."""
+    from differentiable_robot_model_tpu.trajopt.solvers import (
+        solve_dynamic_adam_batch,
+    )
+
+    ee = iiwa.link_index("iiwa_link_ee")
+    B = 256
+    q0 = _rand(B, 7, seed=20, scale=0.5)
+    qd0 = jnp.zeros((B, 7), jnp.float32)
+    goals = jax.vmap(
+        lambda x: fk_link_position_dof_first(iiwa, x[:, None], ee)[:, 0]
+    )(_rand(B, 7, seed=21, scale=0.7))
+    res = jax.jit(
+        lambda a, b, c: solve_dynamic_adam_batch(
+            iiwa, a, b, c, ee, horizon=20, n_iters=5, lr=2.0, eps=1e-1
+        )
+    )(q0, qd0, goals)
+    hist = np.asarray(res.cost_history)
+    assert np.all(np.isfinite(hist))
+    assert np.all(hist[-1] <= hist[0])
