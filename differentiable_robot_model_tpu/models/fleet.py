@@ -188,6 +188,92 @@ def mass_matrix_fleet(robot: FleetRobot, q: jnp.ndarray) -> jnp.ndarray:
     return H + jnp.diag(1.0 - valid)
 
 
+class FleetTrajOptResult(NamedTuple):
+    actions: jnp.ndarray  # [R, ..., H, Dmax] optimized action sequences
+    cost: jnp.ndarray  # [R, ...] final costs
+    cost_history: jnp.ndarray  # [R, ..., iters]
+
+
+def kinematic_rollout_fleet(robot: FleetRobot, q0: jnp.ndarray, actions: jnp.ndarray):
+    """Clamp-affine rollout + fleet FK for ONE padded robot (vmap over the
+    fleet axis to serve R different robots in one program).
+
+    q0: [Dmax], actions: [H, Dmax]. Padded dofs have limits [0, 0], so the
+    clamp pins them to zero and their action entries get exact zero
+    subgradients — no masking needed. Same indexing as
+    trajopt/rollout.py:kinematic_rollout.
+    """
+    from ..trajopt.rollout import clamp_affine_combine
+
+    q_start = jnp.clip(q0, robot.limit_lower, robot.limit_upper)
+    u = actions[:-1]
+    if u.shape[0] == 0:
+        q_tail = jnp.zeros_like(u)
+    else:
+        lo = jnp.broadcast_to(robot.limit_lower, u.shape)
+        hi = jnp.broadcast_to(robot.limit_upper, u.shape)
+        A, Bnd, Cnd = jax.lax.associative_scan(
+            clamp_affine_combine, (u, lo, hi)
+        )
+        q_tail = jnp.minimum(jnp.maximum(q_start + A, Bnd), Cnd)
+    q_traj = jnp.concatenate([q_start[None], q_tail], axis=0)  # [H, Dmax]
+    ee_traj = jax.vmap(lambda qq: ee_position_fleet(robot, qq))(q_traj)
+    return ee_traj, q_traj
+
+
+def solve_fleet_kinematic_adam(
+    fleet: FleetRobot,  # [R, ...] stacked fleet pytree
+    q0: jnp.ndarray,  # [R, Dmax] (or [R, B, Dmax] scenario-batched)
+    goal_ee_pos: jnp.ndarray,  # [R, 3] (or [R, B, 3])
+    horizon: int,
+    n_iters: int = 100,
+    lr: float = 1e-2,
+    goal_weight: float = 100.0,
+    eps: float = 1e-8,
+) -> FleetTrajOptResult:
+    """Heterogeneous-fleet MPC: R DIFFERENT robots (and optionally B
+    scenarios each) solved in ONE jitted program.
+
+    The reference compiles a different Python object tree per robot; here
+    topology is data, so a 2-link, an iiwa, a panda and a trifinger solve
+    side by side under a single `vmap` over the fleet axis (SURVEY.md §7
+    config 4/5). Fully differentiable w.r.t. any fleet leaf — system
+    identification THROUGH the fleet solve works by `jax.grad` on (e.g.)
+    `fleet.trans` (tests/test_fleet.py).
+    """
+    import optax
+
+    def solve_one(robot, q0_r, goal_r):
+        D_ = q0_r.shape[-1]
+        actions0 = jnp.zeros((horizon, D_), q0_r.dtype) + 0.0 * q0_r
+
+        def cost_fn(actions):
+            ee_traj, _ = kinematic_rollout_fleet(robot, q0_r, actions)
+            err = goal_weight * (ee_traj - goal_r)
+            return jnp.mean(err * err)
+
+        opt = optax.adam(lr, eps=eps, eps_root=1e-8)
+
+        def iteration(carry, _):
+            actions, opt_state = carry
+            cost, grads = jax.value_and_grad(cost_fn)(actions)
+            updates, opt_state = opt.update(grads, opt_state)
+            actions = optax.apply_updates(actions, updates)
+            return (actions, opt_state), cost
+
+        (actions, _), costs = jax.lax.scan(
+            iteration, (actions0, opt.init(actions0)), None, length=n_iters
+        )
+        _, final_cost = jax.lax.scan(
+            lambda c, _: (c, cost_fn(c)), actions, None, length=1
+        )
+        return FleetTrajOptResult(actions, final_cost[0], costs)
+
+    if q0.ndim == 3:  # [R, B, Dmax]: scenario batch inside each robot
+        solve_one = jax.vmap(solve_one, in_axes=(None, 0, 0))
+    return jax.vmap(solve_one)(fleet, q0, goal_ee_pos)
+
+
 def forward_dynamics_fleet(
     robot: FleetRobot,
     q: jnp.ndarray,

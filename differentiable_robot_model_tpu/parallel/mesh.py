@@ -107,6 +107,50 @@ def sharded_kinematic_mpc(
     return jax.jit(f)
 
 
+def sharded_dynamic_mpc(
+    mesh: Mesh,
+    robot,
+    ee_link_idx: int,
+    horizon: int,
+    dt: float = 0.02,
+    n_iters: int = 10,
+    lr: float = 0.5,
+    goal_weight: float = 10.0,
+    effort_weight: float = 1e-4,
+    eps: float = 1e-1,
+    axis_name: str = SCENARIO_AXIS,
+):
+    """Mesh-sharded wrapper of the dof-major batched TORQUE-SPACE MPC solver
+    (the dynamics-in-the-loop flagship, trajopt/solvers.py
+    solve_dynamic_adam_batch).
+
+    Returns `solve(q0 [B, D], qd0 [B, D], goals [B, 3]) ->
+    (actions [B, H, D], cost [B])` with the scenario axis sharded over the
+    mesh: each device runs the full forward-dynamics MPC solve on its local
+    scenarios — zero collectives, linear scaling, DCN-friendly across
+    hosts, exactly like the kinematic wrapper above.
+    """
+    from jax import shard_map
+
+    from ..trajopt.solvers import solve_dynamic_adam_batch
+
+    def local_solve(q0, qd0, goals):
+        res = solve_dynamic_adam_batch(
+            robot, q0, qd0, goals, ee_link_idx,
+            horizon=horizon, dt=dt, n_iters=n_iters, lr=lr,
+            goal_weight=goal_weight, effort_weight=effort_weight, eps=eps,
+        )
+        return res.actions, res.cost
+
+    f = shard_map(
+        local_solve,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name), P(axis_name)),
+    )
+    return jax.jit(f)
+
+
 def make_data_parallel_train_step(
     mesh: Mesh,
     loss_fn: Callable,  # loss_fn(params, batch) -> scalar

@@ -29,6 +29,23 @@ def clip_to_limits(robot: RobotStruct, q: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(q, robot.limit_lower, robot.limit_upper)
 
 
+def clamp_affine_combine(e1, e2):
+    """Associative composition of clamp-affine maps f(x)=min(max(x+a,b),c).
+
+    (f2 ∘ f1) = (a1+a2, max(b1+a2, b2), min(max(c1+a2, b2), c2)) — the
+    log-depth horizon-integration kernel shared by the kinematic rollout
+    below, the dof-major batched solver (trajopt/solvers.py), and the
+    fleet solver (models/fleet.py).
+    """
+    a1, b1, c1 = e1
+    a2, b2, c2 = e2
+    return (
+        a1 + a2,
+        jnp.maximum(b1 + a2, b2),
+        jnp.minimum(jnp.maximum(c1 + a2, b2), c2),
+    )
+
+
 def kinematic_rollout(
     robot: RobotStruct,
     q0: jnp.ndarray,
@@ -71,19 +88,12 @@ def kinematic_rollout(
         lo = jnp.broadcast_to(robot.limit_lower, u.shape)
         hi = jnp.broadcast_to(robot.limit_upper, u.shape)
 
-        def combine(e1, e2):
-            a1, b1, c1 = e1
-            a2, b2, c2 = e2
-            return (
-                a1 + a2,
-                jnp.maximum(b1 + a2, b2),
-                jnp.minimum(jnp.maximum(c1 + a2, b2), c2),
-            )
-
         if u.shape[0] == 0:  # horizon == 1: no integration steps
             q_tail = jnp.zeros_like(u)
         else:
-            A, Bnd, Cnd = jax.lax.associative_scan(combine, (u, lo, hi))
+            A, Bnd, Cnd = jax.lax.associative_scan(
+                clamp_affine_combine, (u, lo, hi)
+            )
             q_tail = jnp.minimum(jnp.maximum(q_start + A, Bnd), Cnd)
 
     q_clipped = jnp.concatenate([q_start[None], q_tail], axis=0)  # [H, D]

@@ -141,25 +141,20 @@ def solve_kinematic_adam_batch(
 
         fk_fn = lambda qM: fk_link_position_dof_first(robot, qM, ee_link_idx)
 
+    from .rollout import clamp_affine_combine
+
     lo = robot.limit_lower[:, None, None]  # [D, 1, 1]
     hi = robot.limit_upper[:, None, None]
     q0T = jnp.clip(q0.T, lo[:, 0], hi[:, 0])  # [D, B]
     goalT = goal_ee_pos.T  # [3, B]
 
-    def combine(e1, e2):
-        a1, b1, c1 = e1
-        a2, b2, c2 = e2
-        return (
-            a1 + a2,
-            jnp.maximum(b1 + a2, b2),
-            jnp.minimum(jnp.maximum(c1 + a2, b2), c2),
-        )
-
     def cost_fn(aT):  # aT: [D, H, B]
         u = aT[:, : H - 1]
         lo_b = jnp.broadcast_to(lo, u.shape)
         hi_b = jnp.broadcast_to(hi, u.shape)
-        A, Bnd, Cnd = jax.lax.associative_scan(combine, (u, lo_b, hi_b), axis=1)
+        A, Bnd, Cnd = jax.lax.associative_scan(
+            clamp_affine_combine, (u, lo_b, hi_b), axis=1
+        )
         q_tail = jnp.minimum(jnp.maximum(q0T[:, None, :] + A, Bnd), Cnd)
         q_traj = jnp.concatenate([q0T[:, None, :], q_tail], axis=1)  # [D, H, B]
         p = fk_fn(q_traj.reshape(D, H * B)).reshape(3, H, B)

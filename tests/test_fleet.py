@@ -130,3 +130,75 @@ class TestFleetMatchesStatic:
         # padded dof columns receive zero gradient
         for r, struct in enumerate(structs):
             assert np.allclose(np.asarray(g[r, struct.n_dofs :]), 0.0)
+
+
+class TestFleetMPC:
+    """SURVEY §7 configs 4/5: heterogeneous fleet reach solved in ONE
+    jitted program, and identification THROUGH the fleet solve."""
+
+    def test_fleet_reach_one_program(self, fleet_setup):
+        from differentiable_robot_model_tpu.models.fleet import (
+            kinematic_rollout_fleet,
+            solve_fleet_kinematic_adam,
+        )
+
+        models, structs, ees, fleet = fleet_setup
+        R = len(structs)
+        Dmax = fleet.damping.shape[-1]
+        # per-robot goal: the ee position at a feasible nonzero config
+        rng = np.random.default_rng(0)
+        q_goal = jnp.asarray(
+            np.clip(rng.uniform(-0.6, 0.6, (R, Dmax)),
+                    np.asarray(fleet.limit_lower), np.asarray(fleet.limit_upper))
+        )
+        goals = jax.vmap(ee_position_fleet)(fleet, q_goal)
+        q0 = jnp.zeros((R, Dmax))
+
+        res = jax.jit(
+            lambda a, b: solve_fleet_kinematic_adam(
+                fleet, a, b, horizon=12, n_iters=150, lr=2e-2
+            )
+        )(q0, goals)
+        hist = np.asarray(res.cost_history)  # [R, iters]
+        assert np.isfinite(hist).all()
+        assert np.all(hist[:, -1] < 0.2 * hist[:, 0])
+        # every member's final ee is closer to its goal than the start
+        for r in range(R):
+            ee_traj, _ = kinematic_rollout_fleet(
+                jax.tree_util.tree_map(lambda x: x[r], fleet),
+                q0[r], res.actions[r],
+            )
+            d_fin = np.linalg.norm(np.asarray(ee_traj[-1] - goals[r]))
+            d_start = np.linalg.norm(np.asarray(ee_traj[0] - goals[r]))
+            assert d_fin < 0.5 * d_start
+
+    def test_fleet_identification_through_solve(self, fleet_setup):
+        """Gradient of a through-the-solve objective w.r.t. one member's
+        kinematic parameter (iiwa link translation), checked against
+        central finite differences — the fleet analogue of
+        test_learnable.py's identification-through-MPC test."""
+        from differentiable_robot_model_tpu.models.fleet import (
+            solve_fleet_kinematic_adam,
+        )
+
+        models, structs, ees, fleet = fleet_setup
+        R = len(structs)
+        Dmax = fleet.damping.shape[-1]
+        q0 = jnp.zeros((R, Dmax))
+        goals = jnp.full((R, 3), 0.35)
+
+        def objective(delta):
+            # perturb the iiwa's (member 1) link-2 translation z
+            trans = fleet.trans.at[1, 2, 2].add(delta)
+            fleet2 = fleet._replace(trans=trans)
+            res = solve_fleet_kinematic_adam(
+                fleet2, q0, goals, horizon=6, n_iters=10, lr=2e-2, eps=1e-3
+            )
+            return jnp.sum(res.cost)
+
+        g = float(jax.grad(objective)(jnp.asarray(0.0)))
+        eps = 1e-4
+        fd = (float(objective(jnp.asarray(eps)))
+              - float(objective(jnp.asarray(-eps)))) / (2 * eps)
+        assert np.isfinite(g)
+        assert abs(g - fd) < 5e-3 * max(1.0, abs(fd)), (g, fd)
