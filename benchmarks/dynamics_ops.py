@@ -22,10 +22,13 @@ populate the BASELINE.md dynamics-ops table:
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _throughput(fn, args, reps=20, windows=3):
