@@ -85,15 +85,34 @@ _jacobian = jax.jit(_jacobian_impl, static_argnames=("link_idx",))
 def _inverse_dynamics_impl(robot, q, qd, qdd, include_gravity, use_damping):
     from ..ops.dynamics_scalar import rnea_scalar
 
-    def one(a, b, c):
-        return rnea_scalar(robot, a, b, c, include_gravity, use_damping)
-
-    return jax.vmap(one)(q, qd, qdd)
+    # Dof-major layout ([D, B] lanes through the scalar recursion) is the
+    # measured winner over per-sample vmap on the chip at small-to-medium
+    # batch (DYNOPS_r02.json: +31% at B=1024, parity within noise above).
+    return rnea_scalar(robot, q.T, qd.T, qdd.T, include_gravity, use_damping).T
 
 
 _inverse_dynamics = jax.jit(
     _inverse_dynamics_impl, static_argnames=("include_gravity", "use_damping")
 )
+
+
+def _inverse_dynamics_pallas_impl(robot, q, qd, qdd, include_gravity, use_damping):
+    from ..ops.pallas.rnea import rnea_pallas
+
+    return rnea_pallas(robot, q, qd, qdd, include_gravity, use_damping)
+
+
+# Traced-robot Pallas path (no frozen immediates, robot gradients flow via the
+# kernel's scalar VJP); used for explicit id_impl="pallas" with overlays.
+_inverse_dynamics_pallas = jax.jit(
+    _inverse_dynamics_pallas_impl, static_argnames=("include_gravity", "use_damping")
+)
+
+# Auto-dispatch threshold: the compiled Mosaic RNEA kernel only beats the
+# scalar-XLA path decisively once the batch is large enough to amortize its
+# launch/layout overhead (DYNOPS_r02.json on v5e: +30% at B=65536, mixed or
+# losing at B<=16384).
+_ID_PALLAS_MIN_BATCH = 32768
 
 
 @jax.jit
@@ -217,15 +236,65 @@ class DifferentiableRobotModel:
     # -- dynamics --------------------------------------------------------
     def compute_inverse_dynamics(
         self, q, qd, qdd_des, include_gravity: bool = True, use_damping: bool = True,
-        params=None,
+        params=None, id_impl: str = "auto",
     ) -> jnp.ndarray:
         """RNEA torques. Counterpart of reference compute_inverse_dynamics
-        (robot_model.py:306-375)."""
+        (robot_model.py:306-375).
+
+        id_impl selects the backend implementation (per-shape winners measured
+        on v5e, DYNOPS_r02.json):
+          - "scalar": dof-major scalar-XLA recursion (default winner at
+            B<=16384; fully differentiable incl. robot parameters).
+          - "pallas": fused single-launch Mosaic kernel (winner at B>=32768 on
+            TPU; robot gradients via its scalar VJP). Requires the TPU
+            backend.
+          - "auto": "pallas" on TPU for flat batches >= 32768 with no
+            learnable overlays (the frozen-immediates deployment mode),
+            "scalar" otherwise.
+        """
         (q2, qd2, qdd2), bs = self._norm(q, qd, qdd_des)
-        tau = _inverse_dynamics(
-            self._resolved(params), q2, qd2, qdd2, include_gravity, use_damping
+        use_pallas = id_impl == "pallas" or (
+            id_impl == "auto"
+            and q2.shape[0] >= _ID_PALLAS_MIN_BATCH
+            and jax.default_backend() == "tpu"
+            and params is None
+            and not self._learnables._entries
         )
+        if use_pallas:
+            if params is None and not self._learnables._entries:
+                tau = self._id_pallas_frozen(include_gravity, use_damping)(
+                    q2, qd2, qdd2
+                )
+            else:
+                tau = _inverse_dynamics_pallas(
+                    self._resolved(params), q2, qd2, qdd2,
+                    include_gravity, use_damping,
+                )
+        else:
+            tau = _inverse_dynamics(
+                self._resolved(params), q2, qd2, qdd2, include_gravity, use_damping
+            )
         return self._denorm(tau, bs)
+
+    def _id_pallas_frozen(self, include_gravity: bool, use_damping: bool):
+        """Cached jit of the Pallas RNEA kernel closed over the concrete
+        struct, so robot constants bake in as float immediates (the kernel's
+        deployment mode). Only valid while no learnable overlays exist —
+        callers guard on that."""
+        key = (include_gravity, use_damping)
+        cache = getattr(self, "_id_pallas_cache", None)
+        if cache is None:
+            cache = self._id_pallas_cache = {}
+        if key not in cache:
+            from ..ops.pallas.rnea import rnea_pallas
+
+            struct = self._struct
+            cache[key] = jax.jit(
+                lambda a, b, c: rnea_pallas(
+                    struct, a, b, c, include_gravity, use_damping
+                )
+            )
+        return cache[key]
 
     def compute_non_linear_effects(
         self, q, qd, include_gravity: bool = True, use_damping: bool = True, params=None

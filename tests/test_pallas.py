@@ -163,3 +163,22 @@ def test_pallas_rnea_nonmultiple_batch():
     tau_ref = jax.vmap(lambda a, b, c: rnea_scalar(s, a, b, c))(q, qd, qdd)
     assert tau_k.shape == (B, 7)
     assert np.allclose(np.asarray(tau_k), np.asarray(tau_ref), atol=1e-4)
+
+
+def test_model_api_id_auto_dispatch_stays_scalar_off_tpu():
+    """id_impl="auto" must never route to the Mosaic kernel off-TPU, even
+    above the batch crossover; explicit "scalar" is bitwise-identical."""
+    from differentiable_robot_model_tpu import DifferentiableKUKAiiwa
+    from differentiable_robot_model_tpu.models.robot import _ID_PALLAS_MIN_BATCH
+
+    model = DifferentiableKUKAiiwa()
+    B = _ID_PALLAS_MIN_BATCH  # above-crossover batch, but backend is CPU
+    rng = np.random.default_rng(40)
+    q, qd, qdd = (
+        jnp.asarray(rng.uniform(-1, 1, (B, 7)), jnp.float32) for _ in range(3)
+    )
+    t_auto = np.asarray(model.compute_inverse_dynamics(q, qd, qdd))
+    t_scalar = np.asarray(
+        model.compute_inverse_dynamics(q, qd, qdd, id_impl="scalar")
+    )
+    assert np.array_equal(t_auto, t_scalar)

@@ -177,3 +177,28 @@ def test_dynamic_mpc_solver_runs_on_chip(iiwa):
     hist = np.asarray(res.cost_history)
     assert np.all(np.isfinite(hist))
     assert np.all(hist[-1] <= hist[0])
+
+
+def test_model_api_id_impl_dispatch(iiwa):
+    """compute_inverse_dynamics id_impl dispatch: auto picks Pallas above the
+    measured crossover (DYNOPS_r02.json), and all three impls agree."""
+    from differentiable_robot_model_tpu import DifferentiableKUKAiiwa
+    from differentiable_robot_model_tpu.models.robot import _ID_PALLAS_MIN_BATCH
+
+    model = DifferentiableKUKAiiwa()
+    B = _ID_PALLAS_MIN_BATCH
+    q, qd, qdd = _rand(B, 7, 30), _rand(B, 7, 31), _rand(B, 7, 32)
+
+    t_scalar = np.asarray(model.compute_inverse_dynamics(q, qd, qdd, id_impl="scalar"))
+    t_pallas = np.asarray(model.compute_inverse_dynamics(q, qd, qdd, id_impl="pallas"))
+    t_auto = np.asarray(model.compute_inverse_dynamics(q, qd, qdd))
+    assert np.allclose(t_pallas, t_scalar, atol=2e-3, rtol=1e-5)
+    assert np.array_equal(t_auto, t_pallas)  # auto == the frozen pallas path
+
+    # Below the crossover auto stays on the scalar path (bitwise).
+    q2, qd2, qdd2 = q[:256], qd[:256], qdd[:256]
+    t_small_auto = np.asarray(model.compute_inverse_dynamics(q2, qd2, qdd2))
+    t_small_scalar = np.asarray(
+        model.compute_inverse_dynamics(q2, qd2, qdd2, id_impl="scalar")
+    )
+    assert np.array_equal(t_small_auto, t_small_scalar)
