@@ -117,7 +117,7 @@ def sharded_dynamic_mpc(
     lr: float = 0.5,
     goal_weight: float = 10.0,
     effort_weight: float = 1e-4,
-    eps: float = 1e-1,
+    eps: float = 1e-8,
     axis_name: str = SCENARIO_AXIS,
 ):
     """Mesh-sharded wrapper of the dof-major batched TORQUE-SPACE MPC solver
@@ -129,6 +129,11 @@ def sharded_dynamic_mpc(
     mesh: each device runs the full forward-dynamics MPC solve on its local
     scenarios — zero collectives, linear scaling, DCN-friendly across
     hosts, exactly like the kinematic wrapper above.
+
+    Defaults match `solve_dynamic_adam_batch` exactly, so the sharded and
+    unsharded forms agree bitwise under identical kwargs (deployment runs
+    pass eps=1e-1 explicitly — see bench.py and trajopt/solvers.py on why a
+    gradient-scale eps is the production setting).
     """
     from jax import shard_map
 

@@ -195,6 +195,7 @@ def dynamic_rollout_dof_major(
     dt: float,
     include_gravity: bool = True,
     use_damping: bool = True,
+    unroll: int = 1,
 ):
     """Throughput twin of `dynamic_rollout` for dof-major scenario batches.
 
@@ -206,6 +207,10 @@ def dynamic_rollout_dof_major(
     fused elementwise VPU code on [B] lanes, inside one `lax.scan` over
     the horizon. Returns (qs, qds): each [H, D, B] (state AFTER each step,
     matching `dynamic_rollout`'s indexing).
+
+    `unroll` is forwarded to the horizon scan: values > 1 let XLA fuse
+    across consecutive integration steps at the cost of compile time
+    (measure per shape; the solver default stays at the measured winner).
     """
 
     vmax = _velocity_bound(robot, q0T.ndim - 1)
@@ -220,7 +225,7 @@ def dynamic_rollout_dof_major(
         q_next = q + dt * qd_next
         return (q_next, qd_next), (q_next, qd_next)
 
-    _, (qs, qds) = jax.lax.scan(step, (q0T, qd0T), tauT)
+    _, (qs, qds) = jax.lax.scan(step, (q0T, qd0T), tauT, unroll=unroll)
     return qs, qds
 
 

@@ -315,6 +315,7 @@ def solve_dynamic_adam_batch(
     init_actions: jnp.ndarray | None = None,  # [B, H, D] warm start
     use_damping: bool = True,
     precondition: bool = True,
+    rollout_unroll: int = 1,
 ) -> BatchTrajOptResult:
     """Dof-major batched torque-space MPC solve (the dynamics flagship).
 
@@ -361,7 +362,8 @@ def solve_dynamic_adam_batch(
         dtau = to_torque_deltas(aT)
         tauT = tau_refT + dtau
         qs, _ = dynamic_rollout_dof_major(
-            robot, q0T, qd0T, tauT, dt, use_damping=use_damping
+            robot, q0T, qd0T, tauT, dt, use_damping=use_damping,
+            unroll=rollout_unroll,
         )
         p = fk_link_position_dof_first(
             robot, qs.transpose(1, 0, 2).reshape(D_, H * B), ee_link_idx
