@@ -35,7 +35,6 @@ import os
 import subprocess
 import sys
 import tempfile
-import time
 
 import numpy as np
 
@@ -65,14 +64,13 @@ def _build_scenarios():
     return struct, ee_idx, q0, np.asarray(goals, np.float32)
 
 
-def _kin_solver(struct, ee_idx, fk_impl, eps, n=B):
+def _kin_solver(struct, ee_idx, fk_impl, eps):
     import jax
 
     from differentiable_robot_model_tpu.trajopt.solvers import (
         solve_kinematic_adam_batch,
     )
 
-    del n
     return jax.jit(
         lambda q0_b, goal_b: solve_kinematic_adam_batch(
             struct, q0_b, goal_b, ee_idx,
@@ -142,17 +140,11 @@ def _run_cpu_ref(q0_small, goals_small):
 def _throughput(solve, args, reps):
     """Pipelined throughput: dispatch a stream of solves and block once (the
     deployment shape — per-call blocking would measure the ~25 ms dev-tunnel
-    roundtrip). Best-of-3 windows for tunnel jitter."""
-    import jax
+    roundtrip). Best-of-3 windows for tunnel jitter. Thin wrapper over the
+    package's canonical timer (utils/profiling.benchmark)."""
+    from differentiable_robot_model_tpu.utils.profiling import benchmark
 
-    window_times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = solve(*args)
-        jax.block_until_ready(out)
-        window_times.append((time.perf_counter() - t0) / reps)
-    return min(window_times)
+    return benchmark(solve, *args, iters=reps, warmup=0, windows=3).best
 
 
 def main():

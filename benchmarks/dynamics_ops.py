@@ -24,7 +24,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -32,18 +31,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _throughput(fn, args, reps=20, windows=3):
-    import jax
+    """Best-of-windows pipelined timing via the package's canonical timer
+    (utils/profiling.benchmark); warmup=1 pays the compile outside timing."""
+    from differentiable_robot_model_tpu.utils.profiling import benchmark
 
-    out = fn(*args)
-    jax.block_until_ready(out)  # compile
-    times = []
-    for _ in range(windows):
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) / reps)
-    return min(times)
+    return benchmark(fn, *args, iters=reps, warmup=1, windows=windows).best
 
 
 def main():

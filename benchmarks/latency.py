@@ -11,21 +11,16 @@ Usage: python benchmarks/latency.py
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def measure(step_fn, args, reps=50):
-    out = step_fn(*args)
-    import jax
+    """Pipelined mean step time via the canonical timer (warmup=1 pays the
+    compile outside timing)."""
+    from differentiable_robot_model_tpu.utils.profiling import benchmark
 
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = step_fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
+    return benchmark(step_fn, *args, iters=reps, warmup=1).mean
 
 
 def main():

@@ -203,20 +203,12 @@ def kinematic_rollout_fleet(robot: FleetRobot, q0: jnp.ndarray, actions: jnp.nda
     subgradients — no masking needed. Same indexing as
     trajopt/rollout.py:kinematic_rollout.
     """
-    from ..trajopt.rollout import clamp_affine_combine
+    from ..trajopt.rollout import clamp_affine_q_traj
 
     q_start = jnp.clip(q0, robot.limit_lower, robot.limit_upper)
-    u = actions[:-1]
-    if u.shape[0] == 0:
-        q_tail = jnp.zeros_like(u)
-    else:
-        lo = jnp.broadcast_to(robot.limit_lower, u.shape)
-        hi = jnp.broadcast_to(robot.limit_upper, u.shape)
-        A, Bnd, Cnd = jax.lax.associative_scan(
-            clamp_affine_combine, (u, lo, hi)
-        )
-        q_tail = jnp.minimum(jnp.maximum(q_start + A, Bnd), Cnd)
-    q_traj = jnp.concatenate([q_start[None], q_tail], axis=0)  # [H, Dmax]
+    q_traj = clamp_affine_q_traj(
+        q_start, actions[:-1], robot.limit_lower, robot.limit_upper
+    )  # [H, Dmax]
     ee_traj = jax.vmap(lambda qq: ee_position_fleet(robot, qq))(q_traj)
     return ee_traj, q_traj
 

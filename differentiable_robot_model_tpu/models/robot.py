@@ -115,6 +115,20 @@ _inverse_dynamics_pallas = jax.jit(
 _ID_PALLAS_MIN_BATCH = 32768
 
 
+def _runs_on_tpu(x) -> bool:
+    """Whether `x` will execute on a TPU device: its committed placement when
+    it is a concrete on-device array (so `jax.default_device(cpu)` pins on a
+    TPU host are respected), else the default backend. Tracers (inside jit)
+    have no devices and fall through to the backend check."""
+    devs = getattr(x, "devices", None)
+    if callable(devs):
+        try:
+            return next(iter(devs())).platform == "tpu"
+        except Exception:
+            pass
+    return jax.default_backend() == "tpu"
+
+
 @jax.jit
 def _mass_matrix(robot, q):
     from ..ops.dynamics_scalar import mass_matrix_scalar
@@ -250,13 +264,20 @@ class DifferentiableRobotModel:
             backend.
           - "auto": "pallas" on TPU for flat batches >= 32768 with no
             learnable overlays (the frozen-immediates deployment mode),
-            "scalar" otherwise.
+            "scalar" otherwise. Dispatch keys on where the inputs will
+            actually run (their committed device when they have one, the
+            default backend otherwise), so CPU-pinned calls on a TPU host
+            stay on the scalar path.
         """
+        if id_impl not in ("auto", "scalar", "pallas"):
+            raise ValueError(
+                f"id_impl must be 'auto', 'scalar', or 'pallas'; got {id_impl!r}"
+            )
         (q2, qd2, qdd2), bs = self._norm(q, qd, qdd_des)
         use_pallas = id_impl == "pallas" or (
             id_impl == "auto"
             and q2.shape[0] >= _ID_PALLAS_MIN_BATCH
-            and jax.default_backend() == "tpu"
+            and _runs_on_tpu(q2)
             and params is None
             and not self._learnables._entries
         )

@@ -444,9 +444,11 @@ def fk_position_dof_major(robot: RobotStruct, qM: jnp.ndarray, link_idx: int):
     float immediates (see _concrete_consts); a traced robot falls back to
     reading them from refs.
 
-    VJP is w.r.t. qM only (geometric-Jacobian kernel); robot-parameter
-    cotangents are zero — use ops/kinematics.fk_link_position for
-    identification paths that differentiate w.r.t. robot parameters.
+    VJP: the geometric-Jacobian kernel backward covers qM; when the caller
+    also demands robot-parameter cotangents (identification through an
+    fk_impl="pallas" solve), the symbolic_zeros VJP detects it and falls
+    back to the differentiable scalar FK for value and gradients — robot
+    gradients flow either way (see _dm_vjp_fwd).
     """
     if _concrete_consts(robot) is not None:
         return _fk_dof_major_frozen(robot, link_idx)(qM)

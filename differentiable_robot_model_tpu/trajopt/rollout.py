@@ -46,6 +46,32 @@ def clamp_affine_combine(e1, e2):
     )
 
 
+def clamp_affine_q_traj(q_start, u, lo, hi, axis: int = 0):
+    """Clipped joint trajectory from composed clamp-affine steps.
+
+    Integrates the H-1 steps f_t(x) = min(max(x + u_t, lo), hi) in O(log H)
+    rounds via `associative_scan` over `clamp_affine_combine` (exact same
+    values and subgradients as the sequential recursion) and returns the
+    full [.., H, ..] trajectory with `q_start` as entry 0 along `axis`.
+
+    `u` carries the horizon on `axis`; `lo`/`hi` broadcast against `u`;
+    `q_start` is `u` with the horizon axis removed. Handles the horizon==1
+    (empty `u`) edge in one place. Shared by `kinematic_rollout`, the
+    dof-major batched solver (trajopt/solvers.py) and the fleet solver
+    (models/fleet.py) — the three layouts differ only in `axis`.
+    """
+    q_start_h = jnp.expand_dims(q_start, axis)
+    if u.shape[axis] == 0:  # horizon == 1: no integration steps
+        return q_start_h
+    A, Bnd, Cnd = jax.lax.associative_scan(
+        clamp_affine_combine,
+        (u, jnp.broadcast_to(lo, u.shape), jnp.broadcast_to(hi, u.shape)),
+        axis=axis,
+    )
+    q_tail = jnp.minimum(jnp.maximum(q_start_h + A, Bnd), Cnd)
+    return jnp.concatenate([q_start_h, q_tail], axis=axis)
+
+
 def kinematic_rollout(
     robot: RobotStruct,
     q0: jnp.ndarray,
@@ -73,30 +99,14 @@ def kinematic_rollout(
             return q_next, q_next
 
         _, q_tail = jax.lax.scan(step, q_start, actions[:-1])
+        q_clipped = jnp.concatenate([q_start[None], q_tail], axis=0)
     else:
-        # Horizon-parallel integration. Each step is the clamp-affine map
-        # f_t(x) = min(max(x + u_t, lo), hi), and clamp-affine maps are
-        # closed under composition:
-        #   (f2 ∘ f1)(x) = min(max(x + a, b), c) with
-        #   a = a1 + a2, b = max(b1 + a2, b2), c = min(max(c1 + a2, b2), c2)
-        # — an associative combine, so the whole horizon integrates in
-        # O(log H) rounds of elementwise [H, D] ops via associative_scan
-        # instead of H-1 sequential kernel steps (and the VJP is likewise
-        # log-depth). Exact same values and subgradients as the sequential
-        # scan; this is the "horizon parallelism" axis of SURVEY.md §7.
-        u = actions[:-1]
-        lo = jnp.broadcast_to(robot.limit_lower, u.shape)
-        hi = jnp.broadcast_to(robot.limit_upper, u.shape)
-
-        if u.shape[0] == 0:  # horizon == 1: no integration steps
-            q_tail = jnp.zeros_like(u)
-        else:
-            A, Bnd, Cnd = jax.lax.associative_scan(
-                clamp_affine_combine, (u, lo, hi)
-            )
-            q_tail = jnp.minimum(jnp.maximum(q_start + A, Bnd), Cnd)
-
-    q_clipped = jnp.concatenate([q_start[None], q_tail], axis=0)  # [H, D]
+        # Horizon-parallel integration: the whole horizon composes in
+        # O(log H) rounds of elementwise [H, D] ops (VJP likewise
+        # log-depth) — the "horizon parallelism" axis of SURVEY.md §7.
+        q_clipped = clamp_affine_q_traj(
+            q_start, actions[:-1], robot.limit_lower, robot.limit_upper
+        )  # [H, D]
 
     # The integration scan above is the only stateful part (tiny [D] adds);
     # the end-effector chain is evaluated with the scalar-expanded FK (pure
@@ -104,7 +114,9 @@ def kinematic_rollout(
     # batched call — the scalar form keeps intermediates at [H] per quantity,
     # so unlike a matrix-form mega-batch this stays register/VMEM-resident.
     ee_traj = K.fk_link_position(robot, q_clipped, ee_link_idx)
-    q_traj = jnp.concatenate([q0[None], q_tail], axis=0)
+    # q_traj keeps the RAW q0 as entry 0 (reference indexing); the clipped
+    # start only feeds the FK above.
+    q_traj = jnp.concatenate([q0[None], q_clipped[1:]], axis=0)
     return ee_traj, q_traj
 
 

@@ -114,8 +114,9 @@ def solve_kinematic_adam_batch(
     entered with a reshape instead of a transpose relayout, the horizon
     integration is the clamp-affine associative scan, and all B scenarios x H
     steps are one FK call per solver iteration. `fk_impl="scalar"` selects
-    the XLA path (CPU-runnable; also the identification path, since the
-    Pallas VJP does not produce robot-parameter cotangents).
+    the XLA path (CPU-runnable). Identification works through either impl:
+    the Pallas VJP auto-falls-back to the scalar path when robot-parameter
+    cotangents are demanded (ops/pallas/fk.py _dm_vjp_fwd).
 
     `eps` (Adam's denominator epsilon) doubles as trust-region damping for
     *null-space* action directions: dofs that barely move the end-effector
@@ -141,7 +142,7 @@ def solve_kinematic_adam_batch(
 
         fk_fn = lambda qM: fk_link_position_dof_first(robot, qM, ee_link_idx)
 
-    from .rollout import clamp_affine_combine
+    from .rollout import clamp_affine_q_traj
 
     lo = robot.limit_lower[:, None, None]  # [D, 1, 1]
     hi = robot.limit_upper[:, None, None]
@@ -149,14 +150,9 @@ def solve_kinematic_adam_batch(
     goalT = goal_ee_pos.T  # [3, B]
 
     def cost_fn(aT):  # aT: [D, H, B]
-        u = aT[:, : H - 1]
-        lo_b = jnp.broadcast_to(lo, u.shape)
-        hi_b = jnp.broadcast_to(hi, u.shape)
-        A, Bnd, Cnd = jax.lax.associative_scan(
-            clamp_affine_combine, (u, lo_b, hi_b), axis=1
-        )
-        q_tail = jnp.minimum(jnp.maximum(q0T[:, None, :] + A, Bnd), Cnd)
-        q_traj = jnp.concatenate([q0T[:, None, :], q_tail], axis=1)  # [D, H, B]
+        q_traj = clamp_affine_q_traj(
+            q0T, aT[:, : H - 1], lo, hi, axis=1
+        )  # [D, H, B]
         p = fk_fn(q_traj.reshape(D, H * B)).reshape(3, H, B)
         err = goal_weight * (p - goalT[:, None, :])
         cost_b = jnp.mean(err * err, axis=(0, 1))  # [B], mean over 3*H terms
@@ -206,7 +202,7 @@ def solve_dynamic_adam(
     goal_weight: float = 10.0,
     effort_weight: float = 1e-4,
     eps: float = 1e-8,
-    init_actions: jnp.ndarray | None = None,  # [H, D]
+    init_actions: jnp.ndarray | None = None,  # [H, D] absolute torques
     use_damping: bool = True,
     precondition: bool = True,
 ) -> TrajOptResult:
@@ -229,7 +225,9 @@ def solve_dynamic_adam(
     that moves the shoulder oscillates the wrist (measured: 16% of
     scenarios improve in a 10-iteration replan budget unpreconditioned vs
     95% preconditioned at H=50). Returned actions are absolute torques
-    either way.
+    either way, and `init_actions` takes absolute torques too (converted
+    internally), so warm-starting from a previous solve's `.actions` is the
+    natural pattern.
 
     Unbatched and vmappable; `solve_dynamic_adam_batch` is the engineered
     dof-major twin (same math, verified equal in tests/test_trajopt.py).
@@ -238,17 +236,26 @@ def solve_dynamic_adam(
     from ..ops.kinematics import fk_link_position_dof_first
     from .rollout import _velocity_bound, fd_step_implicit_damping
 
+    from ..ops.dynamics_scalar import ldl_solve_scalar
+
     D_ = robot.n_dofs
     H = horizon
     dtype = robot.dtype
     zeros = jnp.zeros_like(q0)
     tau_ref = rnea_scalar(robot, q0, zeros, zeros)  # gravity compensation [D]
     H0 = mass_matrix_scalar(robot, q0) if precondition else None
-    actions0 = (
-        jnp.asarray(init_actions, dtype)
-        if init_actions is not None
-        else jnp.zeros((H, D_), dtype) + 0.0 * q0
-    )
+    if init_actions is not None:
+        # Warm start takes ABSOLUTE applied torques [H, D] — the same
+        # quantity `.actions` returns, so `init_actions=prev.actions` (the
+        # kinematic solvers' warm-start pattern, trajopt/mpc.py) round-trips.
+        # Convert to the internal parameterization: subtract the gravity
+        # reference and, under preconditioning, un-map through H(q0).
+        dtau0 = jnp.asarray(init_actions, dtype) - tau_ref  # [H, D]
+        actions0 = (
+            dtau0 if H0 is None else ldl_solve_scalar(H0, dtau0.T).T
+        )
+    else:
+        actions0 = jnp.zeros((H, D_), dtype) + 0.0 * q0
 
     vmax = _velocity_bound(robot, 0)
 
@@ -312,7 +319,7 @@ def solve_dynamic_adam_batch(
     goal_weight: float = 10.0,
     effort_weight: float = 1e-4,
     eps: float = 1e-8,
-    init_actions: jnp.ndarray | None = None,  # [B, H, D] warm start
+    init_actions: jnp.ndarray | None = None,  # [B, H, D] absolute torques
     use_damping: bool = True,
     precondition: bool = True,
     rollout_unroll: int = 1,
@@ -375,7 +382,21 @@ def solve_dynamic_adam_batch(
         return jnp.sum(cost_b), cost_b
 
     if init_actions is not None:
-        aT0 = jnp.asarray(init_actions, dtype).transpose(1, 2, 0)  # [H, D, B]
+        # Absolute applied torques [B, H, D] (what `.actions` returns; see
+        # solve_dynamic_adam) — un-map to the internal parameterization.
+        from ..ops.dynamics_scalar import ldl_solve_scalar
+
+        dtauT0 = (
+            jnp.asarray(init_actions, dtype).transpose(1, 2, 0) - tau_refT[None]
+        )  # [H, D, B]
+        if H0 is None:
+            aT0 = dtauT0
+        else:
+            # ldl_solve_scalar wants the dof axis leading: [D, H, B] rhs with
+            # H0 [D, D, B] elements broadcasting over the [H, B] trailing dims.
+            aT0 = ldl_solve_scalar(
+                H0, dtauT0.transpose(1, 0, 2)
+            ).transpose(1, 0, 2)
     else:
         # Data-dependent zeros (0*q0T term): see solve_kinematic_adam_batch
         # for the shard_map constant-hoist hazard this avoids.

@@ -470,3 +470,49 @@ def test_ilqr_iiwa_reach():
     assert hist[-1] < hist[0]
     _, p = K.fk_world(struct, res.xs[-1])
     assert np.linalg.norm(np.asarray(p[ee]) - np.asarray(goal)) < 0.05
+
+
+def test_dynamic_warm_start_roundtrip(iiwa_scenarios):
+    """init_actions takes ABSOLUTE torques — the same quantity .actions
+    returns — so the natural MPC warm-start pattern
+    (init_actions=prev.actions) round-trips exactly: warm-starting a
+    0-iteration solve from a previous solution returns that solution, and
+    the batched/unbatched twins agree on the warm-started solve."""
+    struct, ee, q0, qd0, goals = iiwa_scenarios
+    H = 8
+    prev = solve_dynamic_adam_batch(
+        struct, q0, qd0, goals, ee, horizon=H, n_iters=5, lr=1.0, eps=1e-1
+    )
+    # 0-iteration resolve from the warm start reproduces the warm start:
+    # actions -> internal deltas -> actions is identity up to the LDL
+    # solve/matvec round trip (fp32).
+    res0 = solve_dynamic_adam_batch(
+        struct, q0, qd0, goals, ee, horizon=H, n_iters=0, lr=1.0, eps=1e-1,
+        init_actions=prev.actions,
+    )
+    assert np.allclose(
+        np.asarray(res0.actions), np.asarray(prev.actions), atol=1e-4
+    )
+    # and its cost equals the previous final cost (same rollout).
+    assert np.allclose(np.asarray(res0.cost), np.asarray(prev.cost), rtol=1e-5)
+
+    # Batched == vmapped unbatched with the same warm start.
+    res_b = solve_dynamic_adam_batch(
+        struct, q0, qd0, goals, ee, horizon=H, n_iters=3, lr=1.0, eps=1e-1,
+        init_actions=prev.actions,
+    )
+    res_v = jax.vmap(
+        lambda a, b, c, w: solve_dynamic_adam(
+            struct, a, b, c, ee, horizon=H, n_iters=3, lr=1.0, eps=1e-1,
+            init_actions=w,
+        )
+    )(q0, qd0, goals, prev.actions)
+    assert np.allclose(
+        np.asarray(res_b.actions), np.asarray(res_v.actions), atol=1e-4
+    )
+    # Warm-started replanning should not be worse than the cold solve at
+    # the same budget (the whole point of warm starts).
+    cold = solve_dynamic_adam_batch(
+        struct, q0, qd0, goals, ee, horizon=H, n_iters=3, lr=1.0, eps=1e-1
+    )
+    assert float(jnp.mean(res_b.cost)) <= float(jnp.mean(cold.cost)) + 1e-6
