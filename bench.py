@@ -144,7 +144,7 @@ def _throughput(solve, args, reps):
     package's canonical timer (utils/profiling.benchmark)."""
     from differentiable_robot_model_tpu.utils.profiling import benchmark
 
-    return benchmark(solve, *args, iters=reps, warmup=0, windows=3).best
+    return benchmark(solve, *args, iters=reps, warmup=0, windows=3).best_s
 
 
 def main():

@@ -35,7 +35,7 @@ def _throughput(fn, args, reps=20, windows=3):
     (utils/profiling.benchmark); warmup=1 pays the compile outside timing."""
     from differentiable_robot_model_tpu.utils.profiling import benchmark
 
-    return benchmark(fn, *args, iters=reps, warmup=1, windows=windows).best
+    return benchmark(fn, *args, iters=reps, warmup=1, windows=windows).best_s
 
 
 def main():

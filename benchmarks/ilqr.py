@@ -1,0 +1,131 @@
+"""Batched iLQR throughput: second-order trajopt through the full dynamics.
+
+Runs `ilqr_batch` (trajopt/solvers.py) on the iiwa torque-space plant —
+state x = (q, qd), control u = applied torque, semi-implicit Euler with
+implicit joint damping (trajopt/rollout.fd_step_implicit_damping) — with a
+dense end-effector reach cost, and measures solves/s at several scenario
+batch sizes for both Riccati backward passes ("sequential" reverse scan vs
+"parallel" log-depth associative scan).
+
+This exercises the heaviest differentiation path in the repo: per-stage
+f_x/f_u Jacobians and cost Hessians THROUGH the forward dynamics, the
+Riccati recursion, and a 6-alpha parallel line search, all in one jitted
+program per batch. No reference analog (the reference has first-order
+kinematic trajopt only).
+
+Emits one JSON line per row:
+    python benchmarks/ilqr.py [--out ILQR.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--batches", default="64,256,1024")
+    ap.add_argument("--horizon", type=int, default=30)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (pair with "
+        "XLA_FLAGS=--xla_disable_hlo_passes=fusion — the XLA:CPU fusion "
+        "emitter is compile-time-pathological on the scalar dynamics VJPs)",
+    )
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/drm_tpu_jax_cache")
+    import jax.numpy as jnp
+
+    import differentiable_robot_model_tpu as drm
+    from differentiable_robot_model_tpu.ops import kinematics as K
+    from differentiable_robot_model_tpu.trajopt.rollout import (
+        fd_step_implicit_damping,
+    )
+    from differentiable_robot_model_tpu.trajopt.solvers import ilqr_batch
+    from differentiable_robot_model_tpu.utils.profiling import benchmark
+
+    backend = jax.default_backend()
+    struct = drm.DifferentiableKUKAiiwa().struct
+    ee = struct.link_index("iiwa_link_ee")
+    D = struct.n_dofs
+    H = args.horizon
+    dt = 0.02
+
+    def dynamics(x, u):
+        q, qd = x[:D], x[D:]
+        qdd = fd_step_implicit_damping(struct, q, qd, u, dt)
+        qd2 = qd + dt * qdd
+        return jnp.concatenate([q + dt * qd2, qd2])
+
+    goal = jnp.asarray([0.45, 0.15, 0.65], jnp.float32)
+
+    def cost(x, u):
+        p = K.fk_link_position(struct, x[:D], ee)
+        return 10.0 * jnp.sum((p - goal) ** 2) + 1e-4 * jnp.sum(u * u)
+
+    def final_cost(x):
+        p = K.fk_link_position(struct, x[:D], ee)
+        return 100.0 * jnp.sum((p - goal) ** 2)
+
+    rows = []
+    print(json.dumps({"backend": backend, "H": H, "iters": args.iters}),
+          flush=True)
+    for B in [int(x) for x in args.batches.split(",")]:
+        rng = np.random.default_rng(0)
+        q0 = jnp.asarray(rng.uniform(-0.4, 0.4, (B, D)), jnp.float32)
+        x0s = jnp.concatenate([q0, jnp.zeros((B, D), jnp.float32)], axis=1)
+        # warm start at gravity compensation so the initial rollout is bounded
+        from differentiable_robot_model_tpu.ops.dynamics_scalar import (
+            rnea_scalar,
+        )
+
+        tau_ref = rnea_scalar(struct, q0.T, 0.0 * q0.T, 0.0 * q0.T).T  # [B, D]
+        us0 = jnp.tile(tau_ref[:, None, :], (1, H, 1))
+
+        for riccati in ("sequential", "parallel"):
+            fn = jax.jit(
+                lambda a, b, r=riccati: ilqr_batch(
+                    dynamics, cost, final_cost, a, b,
+                    n_iters=args.iters, riccati=r,
+                ).cost
+            )
+            try:
+                res = benchmark(fn, x0s, us0, iters=args.reps, warmup=1,
+                                windows=3)
+            except Exception as exc:
+                rows.append({"riccati": riccati, "B": B,
+                             "error": str(exc)[:200]})
+                continue
+            c = np.asarray(fn(x0s, us0))
+            row = {
+                "riccati": riccati,
+                "B": B,
+                "solve_ms": round(res.best_s * 1e3, 2),
+                "solves_per_s": round(B / res.best_s, 1),
+                "mean_cost": round(float(c.mean()), 4),
+                "finite": bool(np.all(np.isfinite(c))),
+            }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"backend": backend, "H": H, "iters": args.iters,
+                       "rows": rows}, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

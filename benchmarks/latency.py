@@ -20,7 +20,7 @@ def measure(step_fn, args, reps=50):
     compile outside timing)."""
     from differentiable_robot_model_tpu.utils.profiling import benchmark
 
-    return benchmark(step_fn, *args, iters=reps, warmup=1).mean
+    return benchmark(step_fn, *args, iters=reps, warmup=1).mean_s
 
 
 def main():
