@@ -516,3 +516,22 @@ def test_dynamic_warm_start_roundtrip(iiwa_scenarios):
         struct, q0, qd0, goals, ee, horizon=H, n_iters=3, lr=1.0, eps=1e-1
     )
     assert float(jnp.mean(res_b.cost)) <= float(jnp.mean(cold.cost)) + 1e-6
+
+
+def test_kinematic_batched_solver_horizon_one(iiwa_scenarios):
+    """H==1 edge: no integration steps, trajectory is just the clipped
+    start, and the batched solver matches the vmapped unbatched solver
+    (this path goes through clamp_affine_q_traj's empty-u guard)."""
+    struct, ee, q0, _, goals = iiwa_scenarios
+    res_b = solve_kinematic_adam_batch(
+        struct, q0, goals, ee, horizon=1, n_iters=3, lr=0.05, eps=1e-1,
+        fk_impl="scalar",
+    )
+    res_v = jax.vmap(
+        lambda a, b: solve_kinematic_adam(
+            struct, a, b, ee, horizon=1, n_iters=3, lr=0.05, eps=1e-1
+        )
+    )(q0, goals)
+    assert res_b.actions.shape == (q0.shape[0], 1, 7)
+    assert np.allclose(np.asarray(res_b.cost), np.asarray(res_v.cost), rtol=1e-5)
+    assert np.all(np.isfinite(np.asarray(res_b.actions)))
