@@ -117,6 +117,14 @@ class TestProfiling:
         assert res.mean_s > 0 and res.best_s <= res.mean_s
         assert res.throughput(100) > 0
 
+    def test_benchmark_windows(self, iiwa_struct):
+        """windows>1 (the recorded-number methodology in bench.py and
+        benchmarks/) reports best<=mean over the windows."""
+        fn = jax.jit(lambda q: K.fk_world(iiwa_struct, q)[1])
+        res = benchmark(fn, jnp.zeros(7, jnp.float32), iters=2, warmup=1,
+                        windows=3)
+        assert res.mean_s > 0 and res.best_s <= res.mean_s
+
 
 class TestTensorUtils:
     def test_bfill(self):
