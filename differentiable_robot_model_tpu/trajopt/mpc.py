@@ -153,6 +153,152 @@ def make_mpc_step_batch(
     return step
 
 
+@dataclasses.dataclass(frozen=True)
+class DynamicMPCConfig:
+    """Config for the torque-space (dynamics-in-the-loop) MPC step."""
+
+    horizon: int = 50
+    iters_per_step: int = 10
+    lr: float = 0.5
+    dt: float = 0.02
+    goal_weight: float = 10.0
+    effort_weight: float = 1e-4
+    eps: float = 1e-1  # gradient-scale Adam eps (see solvers.py)
+    replan_interval: int = 1
+
+
+class DynamicMPCState(NamedTuple):
+    q: jnp.ndarray  # [D] joint position
+    qd: jnp.ndarray  # [D] joint velocity
+    plan: jnp.ndarray  # [H, D] warm-start ABSOLUTE torque sequence
+    step_count: jnp.ndarray  # []
+
+
+def dynamic_mpc_init(
+    robot: RobotStruct, q0: jnp.ndarray, qd0: jnp.ndarray,
+    config: DynamicMPCConfig,
+) -> DynamicMPCState:
+    """Initial state with the plan at gravity compensation (the solver's
+    zero-delta reference), so the very first replan warm-starts from a
+    bounded hold-still rollout."""
+    from ..ops.dynamics_scalar import rnea_scalar
+
+    q0 = jnp.asarray(q0, robot.dtype)
+    qd0 = jnp.asarray(qd0, robot.dtype)
+    tau_ref = rnea_scalar(robot, q0, jnp.zeros_like(q0), jnp.zeros_like(q0))
+    plan = jnp.tile(tau_ref[None], (config.horizon, 1))
+    return DynamicMPCState(q0, qd0, plan, jnp.zeros((), jnp.int32))
+
+
+def make_dynamic_mpc_step(
+    robot: RobotStruct, ee_link_idx: int, config: DynamicMPCConfig
+):
+    """Closed-loop torque-space MPC step: (state, goal) -> (state', metrics).
+
+    The solve is `solve_dynamic_adam` (full forward dynamics in the loop)
+    warm-started from the previous plan (absolute torques — the warm-start
+    round-trip the solver guarantees); the executed plant step is the SAME
+    integrator the plan uses (semi-implicit Euler, implicit joint damping,
+    velocity clamp), so closed-loop state tracks the plan exactly under
+    zero disturbance. Pure and vmappable over scenario batches; no
+    reference analog (torque-level closed-loop control).
+    """
+    from ..ops import kinematics as K
+    from .rollout import _velocity_bound, fd_step_implicit_damping
+    from .solvers import solve_dynamic_adam
+
+    vmax = _velocity_bound(robot, 0)
+
+    def step(state: DynamicMPCState, goal: jnp.ndarray):
+        result = solve_dynamic_adam(
+            robot, state.q, state.qd, goal, ee_link_idx,
+            horizon=config.horizon, dt=config.dt,
+            n_iters=config.iters_per_step, lr=config.lr,
+            goal_weight=config.goal_weight,
+            effort_weight=config.effort_weight, eps=config.eps,
+            init_actions=state.plan,
+        )
+        q, qd = state.q, state.qd
+        for i in range(config.replan_interval):
+            qdd = fd_step_implicit_damping(
+                robot, q, qd, result.actions[i], config.dt
+            )
+            qd = jnp.clip(qd + config.dt * qdd, -vmax, vmax)
+            q = q + config.dt * qd
+        n_exec = config.replan_interval
+        # Shift the plan; hold the final torque over the padded tail.
+        plan_next = jnp.concatenate(
+            [
+                result.actions[n_exec:],
+                jnp.tile(result.actions[-1:], (n_exec, 1)),
+            ]
+        )
+        ee = K.fk_link_position(robot, q, ee_link_idx)
+        metrics = MPCMetrics(
+            cost=result.cost,
+            cost_initial=result.cost_history[0],
+            goal_distance=jnp.linalg.norm(ee - goal),
+            plan_norm=jnp.sqrt(jnp.mean(result.actions**2)),
+        )
+        return DynamicMPCState(q, qd, plan_next, state.step_count + 1), metrics
+
+    return step
+
+
+def make_dynamic_mpc_step_batch(
+    robot: RobotStruct, ee_link_idx: int, config: DynamicMPCConfig
+):
+    """Throughput twin of `make_dynamic_mpc_step` for a scenario fleet:
+    `(states [B], goals [B, 3]) -> (states', metrics)` on the dof-major
+    batched solver (solvers.solve_dynamic_adam_batch). States are the same
+    DynamicMPCState pytree with a leading batch axis (`dynamic_mpc_init`
+    composes with vmap)."""
+    from ..ops import kinematics as K
+    from .rollout import _velocity_bound, fd_step_implicit_damping
+    from .solvers import solve_dynamic_adam_batch
+
+    vmax = _velocity_bound(robot, 1)  # [D, 1] for the dof-major plant step
+
+    def step(states: DynamicMPCState, goals: jnp.ndarray):
+        result = solve_dynamic_adam_batch(
+            robot, states.q, states.qd, goals, ee_link_idx,
+            horizon=config.horizon, dt=config.dt,
+            n_iters=config.iters_per_step, lr=config.lr,
+            goal_weight=config.goal_weight,
+            effort_weight=config.effort_weight, eps=config.eps,
+            init_actions=states.plan,
+        )
+        qT, qdT = states.q.T, states.qd.T  # [D, B]
+        for i in range(config.replan_interval):
+            qddT = fd_step_implicit_damping(
+                robot, qT, qdT, result.actions[:, i].T, config.dt
+            )
+            qdT = jnp.clip(qdT + config.dt * qddT, -vmax, vmax)
+            qT = qT + config.dt * qdT
+        n_exec = config.replan_interval
+        plan_next = jnp.concatenate(
+            [
+                result.actions[:, n_exec:],
+                jnp.tile(result.actions[:, -1:], (1, n_exec, 1)),
+            ],
+            axis=1,
+        )
+        q, qd = qT.T, qdT.T
+        ee = jax.vmap(lambda x: K.fk_link_position(robot, x, ee_link_idx))(q)
+        metrics = MPCMetrics(
+            cost=result.cost,
+            cost_initial=result.cost_history[0],
+            goal_distance=jnp.linalg.norm(ee - goals, axis=-1),
+            plan_norm=jnp.sqrt(jnp.mean(result.actions**2, axis=(1, 2))),
+        )
+        return (
+            DynamicMPCState(q, qd, plan_next, states.step_count + 1),
+            metrics,
+        )
+
+    return step
+
+
 def run_mpc(
     robot: RobotStruct,
     q0: jnp.ndarray,

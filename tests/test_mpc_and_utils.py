@@ -74,6 +74,70 @@ class TestMPC:
         assert np.allclose(np.asarray(sb.plan), np.asarray(sv.plan), atol=1e-5)
         assert np.allclose(np.asarray(mb.cost), np.asarray(mv.cost), rtol=1e-5)
 
+    def test_dynamic_mpc_closed_loop(self, iiwa_struct):
+        """Closed-loop torque-space MPC: warm-started replans through the
+        true forward dynamics close most of the goal distance."""
+        from differentiable_robot_model_tpu.trajopt.mpc import (
+            DynamicMPCConfig,
+            dynamic_mpc_init,
+            make_dynamic_mpc_step,
+        )
+
+        struct = iiwa_struct
+        ee = struct.link_index("iiwa_link_ee")
+        goal = K.fk_link_position(
+            struct, jnp.asarray([0.3, 0.3, 0.0, -0.9, 0.0, 0.6, 0.0],
+                                jnp.float32), ee)
+        q0 = jnp.zeros(7, jnp.float32)
+        config = DynamicMPCConfig(horizon=12, iters_per_step=6, lr=0.5)
+        step = make_dynamic_mpc_step(struct, ee, config)
+
+        def body(state, _):
+            state, metrics = step(state, goal)
+            return state, metrics.goal_distance
+
+        state0 = dynamic_mpc_init(struct, q0, jnp.zeros(7, jnp.float32), config)
+        final, dists = jax.jit(
+            lambda s: jax.lax.scan(body, s, None, length=25)
+        )(state0)
+        d = np.asarray(dists)
+        assert np.isfinite(d).all()
+        assert d[-1] < 0.5 * d[0]
+        assert np.all(np.isfinite(np.asarray(final.qd)))
+
+    def test_dynamic_mpc_batch_matches_vmapped(self, iiwa_struct):
+        """make_dynamic_mpc_step_batch == vmap of the per-sample dynamic
+        step (same algorithm, same backend)."""
+        from differentiable_robot_model_tpu.trajopt.mpc import (
+            DynamicMPCConfig,
+            dynamic_mpc_init,
+            make_dynamic_mpc_step,
+            make_dynamic_mpc_step_batch,
+        )
+
+        struct = iiwa_struct
+        ee = struct.link_index("iiwa_link_ee")
+        config = DynamicMPCConfig(horizon=6, iters_per_step=3)
+        B = 3
+        rng = np.random.default_rng(7)
+        q0 = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 7)), jnp.float32)
+        qd0 = jnp.zeros((B, 7), jnp.float32)
+        goals = jnp.asarray(rng.uniform(0.2, 0.5, (B, 3)), jnp.float32)
+        states = jax.vmap(
+            lambda q, qd: dynamic_mpc_init(struct, q, qd, config)
+        )(q0, qd0)
+
+        sv, mv = jax.jit(jax.vmap(make_dynamic_mpc_step(struct, ee, config)))(
+            states, goals
+        )
+        sb, mb = jax.jit(make_dynamic_mpc_step_batch(struct, ee, config))(
+            states, goals
+        )
+        assert np.allclose(np.asarray(sb.q), np.asarray(sv.q), atol=1e-4)
+        assert np.allclose(np.asarray(sb.qd), np.asarray(sv.qd), atol=1e-4)
+        assert np.allclose(np.asarray(sb.plan), np.asarray(sv.plan), atol=2e-3)
+        assert np.allclose(np.asarray(mb.cost), np.asarray(mv.cost), rtol=1e-4)
+
 
 class TestCheckpoint:
     def test_roundtrip_params(self, tmp_path, iiwa_struct):
