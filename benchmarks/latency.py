@@ -69,6 +69,45 @@ def main():
             )
         )
 
+    # Dynamic (torque-space) closed-loop MPC step: the full forward
+    # dynamics in the replan loop (trajopt/mpc.make_dynamic_mpc_step).
+    from differentiable_robot_model_tpu.trajopt.mpc import (
+        DynamicMPCConfig,
+        dynamic_mpc_init,
+        make_dynamic_mpc_step,
+        make_dynamic_mpc_step_batch,
+    )
+
+    for horizon, iters in [(50, 10), (20, 3)]:
+        dconfig = DynamicMPCConfig(horizon=horizon, iters_per_step=iters)
+        dstep = jax.jit(make_dynamic_mpc_step(struct, ee, dconfig))
+        dstate = dynamic_mpc_init(
+            struct, jnp.zeros(7, jnp.float32), jnp.zeros(7, jnp.float32),
+            dconfig,
+        )
+        ddt = measure(dstep, (dstate, goal), reps=20)
+        B = 1024
+        dstepB = jax.jit(make_dynamic_mpc_step_batch(struct, ee, dconfig))
+        dstatesB = jax.vmap(
+            lambda q: dynamic_mpc_init(struct, q, jnp.zeros(7, jnp.float32),
+                                       dconfig)
+        )(jnp.zeros((B, 7), jnp.float32))
+        goalsB = jnp.tile(goal[None], (B, 1))
+        ddtB = measure(dstepB, (dstatesB, goalsB), reps=5)
+        print(
+            json.dumps(
+                {
+                    "workload": "dynamic_mpc_step",
+                    "horizon": horizon,
+                    "iters": iters,
+                    "replan_latency_ms_B1": round(ddt * 1e3, 3),
+                    "replan_rate_hz_B1": round(1.0 / ddt, 1),
+                    "replan_latency_ms_B1024": round(ddtB * 1e3, 3),
+                    "replans_per_s_B1024": round(B / ddtB, 1),
+                }
+            )
+        )
+
 
 if __name__ == "__main__":
     main()
