@@ -52,6 +52,8 @@ class FleetRobot(NamedTuple):
     damping: jnp.ndarray  # [Dmax]
     limit_lower: jnp.ndarray  # [Dmax]
     limit_upper: jnp.ndarray  # [Dmax]
+    limit_velocity: jnp.ndarray  # [Dmax] (<=0 means unbounded)
+    limit_effort: jnp.ndarray  # [Dmax] (<=0 means unbounded)
     anc_mask: jnp.ndarray  # [Lmax, Lmax]
     dof_select: jnp.ndarray  # [Lmax, Dmax]
     rev_mask: jnp.ndarray  # [Lmax]
@@ -96,6 +98,8 @@ def pad_robot(
         damping=pad(struct.damping, (max_dofs,)),
         limit_lower=pad(struct.limit_lower, (max_dofs,)),
         limit_upper=pad(struct.limit_upper, (max_dofs,)),
+        limit_velocity=pad(struct.limit_velocity, (max_dofs,)),
+        limit_effort=pad(struct.limit_effort, (max_dofs,)),
         anc_mask=pad(struct.anc_mask, (max_links, max_links)),
         dof_select=pad(struct.dof_select, (max_links, max_dofs)),
         rev_mask=pad(struct.rev_mask, (max_links,)),
@@ -278,3 +282,176 @@ def forward_dynamics_fleet(
     H = mass_matrix_fleet(robot, q)
     rhs = ((f - nle) * robot.dof_valid)[..., None]
     return D.jax_sym_solve(H, rhs)[..., 0] * robot.dof_valid
+
+
+def fd_step_implicit_damping_fleet(
+    robot: FleetRobot,
+    q: jnp.ndarray,  # [Dmax]
+    qd: jnp.ndarray,
+    tau: jnp.ndarray,
+    dt: float,
+    include_gravity: bool = True,
+    use_damping: bool = True,
+) -> jnp.ndarray:
+    """Fleet twin of `trajopt.rollout.fd_step_implicit_damping`: forward
+    dynamics with the viscous damping force evaluated at qd_{k+1}, i.e.
+    (H + dt diag(d)) qdd = tau - nle(q, qd) — unconditionally stable in the
+    damping term (see the single-robot docstring for the derivation).
+    Padded dofs keep their identity mass-matrix rows and zero torque, so
+    qdd is exactly zero there."""
+    nle = rnea_fleet(robot, q, qd, jnp.zeros_like(q), include_gravity, use_damping)
+    H = mass_matrix_fleet(robot, q)
+    if use_damping:
+        H = H + dt * jnp.diag(robot.damping * robot.dof_valid)
+    rhs = ((tau - nle) * robot.dof_valid)[..., None]
+    return D.jax_sym_solve(H, rhs)[..., 0] * robot.dof_valid
+
+
+def dynamic_rollout_fleet(
+    robot: FleetRobot,
+    q0: jnp.ndarray,  # [Dmax]
+    qd0: jnp.ndarray,  # [Dmax]
+    taus: jnp.ndarray,  # [H, Dmax] absolute applied torques
+    dt: float,
+    use_damping: bool = True,
+    respect_effort_limits: bool = False,
+):
+    """Semi-implicit Euler rollout through the fleet forward dynamics for
+    ONE padded robot (vmap over the fleet axis serves R robots at once).
+
+    Same integrator semantics as the single-robot dof-major rollout
+    (trajopt/rollout.dynamic_rollout_dof_major): implicit joint damping,
+    per-dof velocity clamp to the URDF limits (<=0 means unbounded), and —
+    with `respect_effort_limits=True` — the actuator effort box on every
+    applied torque. Returns (qs, qds), each [H, Dmax] (state AFTER each
+    step)."""
+    vmax = jnp.where(robot.limit_velocity > 0, robot.limit_velocity, jnp.inf)
+    emax = jnp.where(robot.limit_effort > 0, robot.limit_effort, jnp.inf)
+
+    def step(carry, tau_t):
+        q, qd = carry
+        if respect_effort_limits:
+            tau_t = jnp.clip(tau_t, -emax, emax)
+        qdd = fd_step_implicit_damping_fleet(
+            robot, q, qd, tau_t, dt, use_damping=use_damping
+        )
+        qd_next = jnp.clip(qd + dt * qdd, -vmax, vmax)
+        q_next = q + dt * qd_next
+        return (q_next, qd_next), (q_next, qd_next)
+
+    _, (qs, qds) = jax.lax.scan(step, (q0, qd0), taus)
+    return qs, qds
+
+
+def solve_fleet_dynamic_adam(
+    fleet: FleetRobot,  # [R, ...] stacked fleet pytree
+    q0: jnp.ndarray,  # [R, Dmax] (or [R, B, Dmax] scenario-batched)
+    qd0: jnp.ndarray,  # same shape as q0
+    goal_ee_pos: jnp.ndarray,  # [R, 3] (or [R, B, 3])
+    horizon: int,
+    dt: float = 0.02,
+    n_iters: int = 10,
+    lr: float = 0.5,
+    goal_weight: float = 10.0,
+    effort_weight: float = 1e-4,
+    eps: float = 1e-1,
+    use_damping: bool = True,
+    precondition: bool = True,
+    respect_effort_limits: bool = False,
+    init_actions: jnp.ndarray | None = None,  # [R, (B,) H, Dmax] abs torques
+) -> FleetTrajOptResult:
+    """Heterogeneous-fleet TORQUE-SPACE MPC: R different robots, full
+    forward dynamics in the loop, ONE jitted program.
+
+    The dynamics-level counterpart of `solve_fleet_kinematic_adam` and the
+    fleet-level counterpart of `trajopt.solvers.solve_dynamic_adam` (same
+    algorithm: Adam on computed-torque-preconditioned deltas around the
+    gravity-compensation reference, semi-implicit rollout with implicit
+    damping and velocity clamps — see that docstring for the
+    preconditioning rationale). Topology is data, so a 2-link, an iiwa and
+    a trifinger plan torques side by side under one `vmap`, and the whole
+    solve stays differentiable w.r.t. any fleet leaf (identification
+    through the dynamic fleet solve). Returned actions are absolute
+    applied torques [R, (B,) H, Dmax]; padded dofs carry exact zeros.
+    No reference analog at any level (SURVEY.md §7 configs 4/5).
+    """
+    import optax
+
+    def solve_one(robot, q0_r, qd0_r, goal_r, init_r):
+        Dmax = q0_r.shape[-1]
+        zeros = jnp.zeros_like(q0_r)
+        tau_ref = rnea_fleet(robot, q0_r, zeros, zeros)  # gravity comp
+        H0 = mass_matrix_fleet(robot, q0_r) if precondition else None
+        emax = jnp.where(robot.limit_effort > 0, robot.limit_effort, jnp.inf)
+
+        def to_torque_deltas(a):  # [H, Dmax]
+            if H0 is None:
+                return a * robot.dof_valid
+            return (
+                jnp.einsum(
+                    "de,he->hd", H0, a, precision=jax.lax.Precision.HIGHEST
+                )
+                * robot.dof_valid
+            )
+
+        def to_applied_torques(a):
+            taus = tau_ref + to_torque_deltas(a)
+            if respect_effort_limits:
+                taus = jnp.clip(taus, -emax, emax)
+            return taus * robot.dof_valid
+
+        if init_r is not None:
+            dtau0 = init_r - tau_ref  # [H, Dmax]
+            if H0 is None:
+                actions0 = dtau0 * robot.dof_valid
+            else:
+                actions0 = (
+                    D.jax_sym_solve(H0, dtau0.T).T * robot.dof_valid
+                )
+        else:
+            actions0 = jnp.zeros((horizon, Dmax), q0_r.dtype) + 0.0 * q0_r
+
+        def cost_fn(actions):
+            dtau = to_torque_deltas(actions)
+            taus = tau_ref + dtau
+            if respect_effort_limits:
+                taus = jnp.clip(taus, -emax, emax)
+            qs, _ = dynamic_rollout_fleet(
+                robot, q0_r, qd0_r, taus, dt, use_damping=use_damping
+            )
+            p = jax.vmap(lambda qq: ee_position_fleet(robot, qq))(qs)
+            err = goal_weight * (p - goal_r)
+            # masked mean over REAL dofs: identical cost (and gradients) to
+            # the single-robot solver regardless of this fleet's padding
+            effort = jnp.sum(dtau * dtau) / (
+                dtau.shape[0] * jnp.sum(robot.dof_valid)
+            )
+            return jnp.mean(err * err) + effort_weight * effort
+
+        opt = optax.adam(lr, eps=eps, eps_root=1e-8)
+
+        def iteration(carry, _):
+            actions, opt_state = carry
+            cost, grads = jax.value_and_grad(cost_fn)(actions)
+            updates, opt_state = opt.update(grads, opt_state)
+            actions = optax.apply_updates(actions, updates)
+            return (actions, opt_state), cost
+
+        (actions, _), costs = jax.lax.scan(
+            iteration, (actions0, opt.init(actions0)), None, length=n_iters
+        )
+        _, final_cost = jax.lax.scan(
+            lambda c, _: (c, cost_fn(c)), actions, None, length=1
+        )
+        return FleetTrajOptResult(
+            to_applied_torques(actions), final_cost[0], costs
+        )
+
+    in_axes_init = None if init_actions is None else 0
+    if q0.ndim == 3:  # [R, B, Dmax]: scenario batch inside each robot
+        solve_one = jax.vmap(
+            solve_one, in_axes=(None, 0, 0, 0, in_axes_init)
+        )
+    return jax.vmap(solve_one, in_axes=(0, 0, 0, 0, in_axes_init))(
+        fleet, q0, qd0, goal_ee_pos, init_actions
+    )

@@ -165,6 +165,9 @@ class DynamicMPCConfig:
     effort_weight: float = 1e-4
     eps: float = 1e-1  # gradient-scale Adam eps (see solvers.py)
     replan_interval: int = 1
+    # Enforce URDF effort limits as a box constraint on planned AND executed
+    # torques (see solvers.solve_dynamic_adam's respect_effort_limits).
+    respect_effort_limits: bool = False
 
 
 class DynamicMPCState(NamedTuple):
@@ -217,6 +220,7 @@ def make_dynamic_mpc_step(
             goal_weight=config.goal_weight,
             effort_weight=config.effort_weight, eps=config.eps,
             init_actions=state.plan,
+            respect_effort_limits=config.respect_effort_limits,
         )
         q, qd = state.q, state.qd
         for i in range(config.replan_interval):
@@ -267,6 +271,7 @@ def make_dynamic_mpc_step_batch(
             goal_weight=config.goal_weight,
             effort_weight=config.effort_weight, eps=config.eps,
             init_actions=states.plan,
+            respect_effort_limits=config.respect_effort_limits,
         )
         qT, qdT = states.q.T, states.qd.T  # [D, B]
         for i in range(config.replan_interval):

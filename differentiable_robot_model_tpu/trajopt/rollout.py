@@ -29,6 +29,31 @@ def clip_to_limits(robot: RobotStruct, q: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(q, robot.limit_lower, robot.limit_upper)
 
 
+def clip_to_effort(robot: RobotStruct, tau: jnp.ndarray) -> jnp.ndarray:
+    """Clamp applied torques to the URDF effort limits (dof on the LAST axis).
+
+    The reference parses and exposes effort limits (`urdf_utils.py:59-64`,
+    `robot_model.py:715`) but never enforces them; here they are the box
+    constraint of the torque-space solvers (see `solve_dynamic_adam`'s
+    `respect_effort_limits`). Non-positive or missing URDF limits mean
+    unbounded, matching `_velocity_bound`'s convention.
+    """
+    e = jnp.where(robot.limit_effort > 0, robot.limit_effort, jnp.inf)
+    return jnp.clip(tau, -e, e)
+
+
+def _effort_bound(robot: RobotStruct, n_batch_dims: int):
+    """Per-dof applied-torque bound for dof-major layouts, shaped [D, 1...].
+
+    Dof-leading twin of `clip_to_effort`'s bound (dof axis first, trailing
+    scenario batch), for the dof-major solvers/rollouts. Non-positive or
+    missing URDF effort limits are treated as unbounded.
+    """
+    e = robot.limit_effort
+    e = jnp.where(e > 0, e, jnp.inf)
+    return e.reshape(e.shape + (1,) * n_batch_dims)
+
+
 def clamp_affine_combine(e1, e2):
     """Associative composition of clamp-affine maps f(x)=min(max(x+a,b),c).
 
@@ -135,13 +160,18 @@ def dynamic_rollout(
     ee_link_idx: int,
     include_gravity: bool = True,
     use_damping: bool = True,
+    respect_effort_limits: bool = False,
 ) -> DynRolloutResult:
     """Integrate applied torques through the forward dynamics (semi-implicit
     Euler), recording joint states and end-effector positions.
 
     Unbatched: q0, qd0 [D]; taus [H, D]. Beyond reference scope (its rollout
     is kinematic only); this is the plant model for torque-space MPC.
+    `respect_effort_limits=True` clamps each torque to the URDF effort
+    limits first (see `clip_to_effort`).
     """
+    if respect_effort_limits:
+        taus = clip_to_effort(robot, taus)
 
     def step(carry, tau):
         q, qd = carry
@@ -208,6 +238,8 @@ def dynamic_rollout_dof_major(
     include_gravity: bool = True,
     use_damping: bool = True,
     unroll: int = 1,
+    respect_effort_limits: bool = False,
+    remat: bool = False,
 ):
     """Throughput twin of `dynamic_rollout` for dof-major scenario batches.
 
@@ -223,12 +255,29 @@ def dynamic_rollout_dof_major(
     `unroll` is forwarded to the horizon scan: values > 1 let XLA fuse
     across consecutive integration steps at the cost of compile time
     (measure per shape; the solver default stays at the measured winner).
+
+    `respect_effort_limits=True` clamps each applied torque to the URDF
+    effort limits before integration (the actuator box constraint; clamp
+    subgradients are exact, so saturated dofs stop attracting solver
+    pressure — same mechanism as the velocity clamp below).
+
+    `remat=True` checkpoints the integration step: reverse-mode
+    differentiation then stores only the [D, B] carry per step and
+    recomputes the forward-dynamics intermediates (RNEA bias, scalar CRB
+    factors) during the backward sweep — the `jax.checkpoint` HBM-for-FLOPs
+    trade. Same values and gradients either way (tests/test_trajopt.py);
+    measure per shape on the chip before changing a solver default.
     """
 
     vmax = _velocity_bound(robot, q0T.ndim - 1)
+    emax = (
+        _effort_bound(robot, q0T.ndim - 1) if respect_effort_limits else None
+    )
 
     def step(carry, tau_t):
         q, qd = carry
+        if emax is not None:
+            tau_t = jnp.clip(tau_t, -emax, emax)
         qdd = fd_step_implicit_damping(
             robot, q, qd, tau_t, dt,
             include_gravity=include_gravity, use_damping=use_damping,
@@ -237,6 +286,8 @@ def dynamic_rollout_dof_major(
         q_next = q + dt * qd_next
         return (q_next, qd_next), (q_next, qd_next)
 
+    if remat:
+        step = jax.checkpoint(step)
     _, (qs, qds) = jax.lax.scan(step, (q0T, qd0T), tauT, unroll=unroll)
     return qs, qds
 

@@ -205,6 +205,7 @@ def solve_dynamic_adam(
     init_actions: jnp.ndarray | None = None,  # [H, D] absolute torques
     use_damping: bool = True,
     precondition: bool = True,
+    respect_effort_limits: bool = False,
 ) -> TrajOptResult:
     """Torque-space trajectory optimization: Adam on an applied-torque
     sequence through the differentiable forward-dynamics rollout.
@@ -229,12 +230,24 @@ def solve_dynamic_adam(
     internally), so warm-starting from a previous solve's `.actions` is the
     natural pattern.
 
+    `respect_effort_limits=True` imposes the URDF effort limits as a box
+    constraint: the plant only ever sees torques clamped to the actuator
+    bounds (projection INSIDE the differentiable rollout — clamp
+    subgradients are exact, so saturated dofs stop attracting solver
+    pressure), and the returned `.actions` are the clamped, feasible
+    torques. The reference parses effort limits but never enforces them
+    (urdf_utils.py:59-64).
+
     Unbatched and vmappable; `solve_dynamic_adam_batch` is the engineered
     dof-major twin (same math, verified equal in tests/test_trajopt.py).
     """
     from ..ops.dynamics_scalar import mass_matrix_scalar, rnea_scalar
     from ..ops.kinematics import fk_link_position_dof_first
-    from .rollout import _velocity_bound, fd_step_implicit_damping
+    from .rollout import (
+        _effort_bound,
+        _velocity_bound,
+        fd_step_implicit_damping,
+    )
 
     from ..ops.dynamics_scalar import ldl_solve_scalar
 
@@ -258,6 +271,7 @@ def solve_dynamic_adam(
         actions0 = jnp.zeros((H, D_), dtype) + 0.0 * q0
 
     vmax = _velocity_bound(robot, 0)
+    emax = _effort_bound(robot, 0) if respect_effort_limits else None
 
     def to_torque_deltas(a):
         if H0 is None:
@@ -266,9 +280,15 @@ def solve_dynamic_adam(
             "de,he->hd", H0, a, precision=jax.lax.Precision.HIGHEST
         )
 
+    def to_applied_torques(a):
+        taus = tau_ref + to_torque_deltas(a)
+        return taus if emax is None else jnp.clip(taus, -emax, emax)
+
     def cost_fn(actions):
         dtau = to_torque_deltas(actions)
         taus = tau_ref + dtau  # [H, D]
+        if emax is not None:
+            taus = jnp.clip(taus, -emax, emax)
 
         def step(carry, tau_t):
             q, qd = carry
@@ -301,9 +321,7 @@ def solve_dynamic_adam(
     _, final_cost = jax.lax.scan(
         lambda c, _: (c, cost_fn(c)), actions, None, length=1
     )
-    return TrajOptResult(
-        tau_ref + to_torque_deltas(actions), final_cost[0], costs
-    )
+    return TrajOptResult(to_applied_torques(actions), final_cost[0], costs)
 
 
 def solve_dynamic_adam_batch(
@@ -323,6 +341,8 @@ def solve_dynamic_adam_batch(
     use_damping: bool = True,
     precondition: bool = True,
     rollout_unroll: int = 1,
+    respect_effort_limits: bool = False,
+    rollout_remat: bool = False,
 ) -> BatchTrajOptResult:
     """Dof-major batched torque-space MPC solve (the dynamics flagship).
 
@@ -338,11 +358,12 @@ def solve_dynamic_adam_batch(
     parity gate).
 
     Returns actions as the full applied torques [B, H, D] (gravity-comp
-    reference + optimized deltas), matching `solve_dynamic_adam`.
+    reference + optimized deltas; clamped to the URDF effort limits when
+    `respect_effort_limits=True`), matching `solve_dynamic_adam`.
     """
     from ..ops.dynamics_scalar import mass_matrix_scalar, rnea_scalar
     from ..ops.kinematics import fk_link_position_dof_first
-    from .rollout import dynamic_rollout_dof_major
+    from .rollout import _effort_bound, dynamic_rollout_dof_major
 
     B, D_ = q0.shape
     H = horizon
@@ -354,6 +375,8 @@ def solve_dynamic_adam_batch(
     zerosT = jnp.zeros_like(q0T)
     tau_refT = rnea_scalar(robot, q0T, zerosT, zerosT)  # [D, B]
     H0 = mass_matrix_scalar(robot, q0T) if precondition else None  # [D, D, B]
+    # effort box constraint, dof-major [D, 1] (see solve_dynamic_adam)
+    emax = _effort_bound(robot, 1) if respect_effort_limits else None
 
     def to_torque_deltas(aT):
         if H0 is None:
@@ -365,12 +388,18 @@ def solve_dynamic_adam_batch(
             "deb,heb->hdb", H0, aT, precision=jax.lax.Precision.HIGHEST
         )
 
+    def to_applied_torques(aT):
+        tauT = tau_refT + to_torque_deltas(aT)
+        return tauT if emax is None else jnp.clip(tauT, -emax, emax)
+
     def cost_fn(aT):  # aT: [H, D, B] acceleration-unit action deltas
         dtau = to_torque_deltas(aT)
         tauT = tau_refT + dtau
+        if emax is not None:
+            tauT = jnp.clip(tauT, -emax, emax)
         qs, _ = dynamic_rollout_dof_major(
             robot, q0T, qd0T, tauT, dt, use_damping=use_damping,
-            unroll=rollout_unroll,
+            unroll=rollout_unroll, remat=rollout_remat,
         )
         p = fk_link_position_dof_first(
             robot, qs.transpose(1, 0, 2).reshape(D_, H * B), ee_link_idx
@@ -424,9 +453,7 @@ def solve_dynamic_adam_batch(
         lambda c, _: (c, cost_fn(c)[1]), aT, None, length=1
     )
     return BatchTrajOptResult(
-        (tau_refT[None] + to_torque_deltas(aT)).transpose(2, 0, 1),
-        final_cost[0],
-        costs,
+        to_applied_torques(aT).transpose(2, 0, 1), final_cost[0], costs
     )
 
 
@@ -574,6 +601,7 @@ def ilqr(
     line_search_alphas: tuple = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01),
     riccati: str = "sequential",
     riccati_mesh=None,
+    control_bounds: tuple | None = None,
 ) -> ILQRResult:
     """Iterative LQR over generic dynamics x' = f(x, u) and costs.
 
@@ -592,11 +620,32 @@ def ilqr(
       `riccati_mesh`'s horizon axis — each device scans its block of
       stages, one small all-gather composes blocks (parallel/horizon.py).
       All three produce identical gains (tests/test_parallel.py).
+
+    `control_bounds=(lo, hi)` (each broadcastable to [m]) makes this
+    control-limited iLQR in the standard forward-pass-projection form
+    (clamp u inside every rollout, Tassa et al.'s "naive clamping"
+    baseline): every candidate — and hence the returned `us` — is
+    feasible, the line search only ever accepts feasible improvements,
+    and clamp subgradients keep saturated controls from attracting
+    further pressure. The backward pass stays unconstrained, so gains
+    NEAR the bounds are approximate — the line search compensates. Use
+    the robot's URDF effort limits via
+    `control_bounds=(-robot.limit_effort, robot.limit_effort)` for
+    torque-space plants (cf. `solve_dynamic_adam`'s
+    `respect_effort_limits`).
     """
     H, m = us_init.shape
     n = x0.shape[0]
     if riccati == "horizon_sharded" and riccati_mesh is None:
         raise ValueError("riccati='horizon_sharded' requires riccati_mesh")
+    if control_bounds is not None:
+        u_lo = jnp.broadcast_to(
+            jnp.asarray(control_bounds[0], us_init.dtype), (m,)
+        )
+        u_hi = jnp.broadcast_to(
+            jnp.asarray(control_bounds[1], us_init.dtype), (m,)
+        )
+        us_init = jnp.clip(us_init, u_lo, u_hi)
 
     f_x = jax.vmap(jax.jacobian(dynamics, argnums=0))
     f_u = jax.vmap(jax.jacobian(dynamics, argnums=1))
@@ -657,6 +706,8 @@ def ilqr(
         def fstep(x, inp):
             x_ref, u_ref, k_t, K_t = inp
             u = u_ref + alpha * k_t + K_t @ (x - x_ref)
+            if control_bounds is not None:
+                u = jnp.clip(u, u_lo, u_hi)
             x_next = dynamics(x, u)
             return x_next, (x_next, u)
 
@@ -710,6 +761,7 @@ def ilqr_batch(
     riccati: str = "sequential",
     mesh=None,
     axis_name: str = "scenario",
+    control_bounds: tuple | None = None,
 ) -> ILQRResult:
     """B independent iLQR solves as ONE jitted program (vmapped), optionally
     sharded over a device mesh's scenario axis.
@@ -735,6 +787,7 @@ def ilqr_batch(
         dynamics, cost, final_cost, x0, us0,
         n_iters=n_iters, reg=reg,
         line_search_alphas=line_search_alphas, riccati=riccati,
+        control_bounds=control_bounds,
     )
     batched = jax.vmap(solve_one)
     if mesh is None:

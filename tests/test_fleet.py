@@ -202,3 +202,132 @@ class TestFleetMPC:
               - float(objective(jnp.asarray(-eps)))) / (2 * eps)
         assert np.isfinite(g)
         assert abs(g - fd) < 5e-3 * max(1.0, abs(fd)), (g, fd)
+
+
+class TestFleetDynamicMPC:
+    """Torque-space (dynamics-in-the-loop) MPC on the heterogeneous fleet."""
+
+    def test_dynamic_rollout_matches_single_robot(self, fleet_setup):
+        """dynamic_rollout_fleet == the single-robot dof-major rollout for
+        the iiwa member (same integrator: implicit damping, velocity clamp),
+        float64."""
+        from differentiable_robot_model_tpu.models.fleet import (
+            dynamic_rollout_fleet,
+        )
+        from differentiable_robot_model_tpu.trajopt.rollout import (
+            dynamic_rollout_dof_major,
+        )
+
+        models, structs, ees, fleet = fleet_setup
+        struct = structs[1]  # iiwa
+        D = struct.n_dofs
+        Dmax = fleet.damping.shape[-1]
+        row = jax.tree_util.tree_map(lambda x: x[1], fleet)
+        rng = np.random.default_rng(21)
+        q0 = np.zeros(Dmax)
+        q0[:D] = rng.uniform(-0.5, 0.5, D)
+        taus = np.zeros((6, Dmax))
+        taus[:, :D] = rng.normal(0, 3.0, (6, D))
+        qs_f, qds_f = dynamic_rollout_fleet(
+            row, jnp.asarray(q0), jnp.zeros(Dmax), jnp.asarray(taus), dt=0.01
+        )
+        qs_s, qds_s = dynamic_rollout_dof_major(
+            struct,
+            jnp.asarray(q0[:D])[:, None],
+            jnp.zeros((D, 1)),
+            jnp.asarray(taus[:, :D])[:, :, None],
+            dt=0.01,
+        )
+        assert np.allclose(np.asarray(qs_f[:, :D]), np.asarray(qs_s[..., 0]), atol=1e-9)
+        assert np.allclose(np.asarray(qds_f[:, :D]), np.asarray(qds_s[..., 0]), atol=1e-9)
+        # padded dofs never move
+        assert np.allclose(np.asarray(qs_f[:, D:]), 0.0)
+
+    def test_dynamic_solve_matches_single_robot(self, fleet_setup):
+        """The iiwa member of the mixed-fleet TORQUE-SPACE solve equals
+        `solve_dynamic_adam` on the plain iiwa struct (same algorithm,
+        float64) — cost history and returned torques."""
+        from differentiable_robot_model_tpu.models.fleet import (
+            solve_fleet_dynamic_adam,
+        )
+        from differentiable_robot_model_tpu.ops import kinematics as K
+        from differentiable_robot_model_tpu.trajopt.solvers import (
+            solve_dynamic_adam,
+        )
+
+        models, structs, ees, fleet = fleet_setup
+        R = len(structs)
+        Dmax = fleet.damping.shape[-1]
+        struct = structs[1]  # iiwa
+        D = struct.n_dofs
+        ee = struct.link_index(ees[1])
+
+        rng = np.random.default_rng(23)
+        q0 = np.zeros((R, Dmax))
+        for r, s in enumerate(structs):
+            q0[r, : s.n_dofs] = rng.uniform(-0.4, 0.4, s.n_dofs)
+        qd0 = np.zeros((R, Dmax))
+        goals = np.full((R, 3), 0.3)
+        goals[1] = np.asarray(
+            K.fk_world(struct, jnp.asarray(q0[1, :D]))[1][ee]
+        ) + np.asarray([0.05, -0.05, 0.05])
+
+        kw = dict(horizon=6, dt=0.02, n_iters=6, lr=0.5, eps=1e-1)
+        res_f = solve_fleet_dynamic_adam(
+            fleet, jnp.asarray(q0), jnp.asarray(qd0), jnp.asarray(goals), **kw
+        )
+        res_s = solve_dynamic_adam(
+            struct,
+            jnp.asarray(q0[1, :D]),
+            jnp.asarray(qd0[1, :D]),
+            jnp.asarray(goals[1]),
+            ee,
+            **kw,
+        )
+        assert np.allclose(
+            np.asarray(res_f.cost_history[1]),
+            np.asarray(res_s.cost_history),
+            rtol=1e-8,
+        ), (res_f.cost_history[1], res_s.cost_history)
+        assert np.allclose(
+            np.asarray(res_f.actions[1, :, :D]),
+            np.asarray(res_s.actions),
+            atol=1e-7,
+        )
+        assert np.allclose(np.asarray(res_f.actions[1, :, D:]), 0.0)
+
+    def test_dynamic_fleet_solve_improves_and_respects_effort_box(
+        self, fleet_setup
+    ):
+        """One jitted dynamic solve over all five robots: every member's
+        cost decreases, padded torques stay exactly zero, and with
+        respect_effort_limits=True every real torque obeys its URDF box."""
+        from differentiable_robot_model_tpu.models.fleet import (
+            solve_fleet_dynamic_adam,
+        )
+
+        models, structs, ees, fleet = fleet_setup
+        R = len(structs)
+        Dmax = fleet.damping.shape[-1]
+        rng = np.random.default_rng(29)
+        q0 = np.zeros((R, Dmax))
+        for r, s in enumerate(structs):
+            q0[r, : s.n_dofs] = rng.uniform(-0.3, 0.3, s.n_dofs)
+        goals = np.full((R, 3), 0.25)
+
+        res = jax.jit(
+            lambda f, a, b, c: solve_fleet_dynamic_adam(
+                f, a, b, c, horizon=8, n_iters=10, lr=0.5, eps=1e-1,
+                respect_effort_limits=True,
+            )
+        )(fleet, jnp.asarray(q0), jnp.zeros((R, Dmax)), jnp.asarray(goals))
+        hist = np.asarray(res.cost_history)
+        assert np.all(np.isfinite(hist))
+        assert np.all(hist[:, -1] < hist[:, 0])
+        acts = np.asarray(res.actions)
+        emax = np.asarray(fleet.limit_effort)
+        emax = np.where(emax > 0, emax, np.inf)
+        for r, s in enumerate(structs):
+            Dn = s.n_dofs
+            assert np.allclose(acts[r, :, Dn:], 0.0)
+            assert np.all(np.abs(acts[r, :, :Dn]) <= emax[r, :Dn] + 1e-9)

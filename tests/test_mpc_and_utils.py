@@ -138,6 +138,34 @@ class TestMPC:
         assert np.allclose(np.asarray(sb.plan), np.asarray(sv.plan), atol=2e-3)
         assert np.allclose(np.asarray(mb.cost), np.asarray(mv.cost), rtol=1e-4)
 
+    def test_dynamic_mpc_respects_effort_limits(self, iiwa_struct):
+        """respect_effort_limits=True keeps the replanned torque plan inside
+        a deliberately tight actuator box through the closed-loop step."""
+        from differentiable_robot_model_tpu.trajopt.mpc import (
+            DynamicMPCConfig,
+            dynamic_mpc_init,
+            make_dynamic_mpc_step,
+        )
+
+        box = 10.0
+        struct = iiwa_struct.with_arrays(
+            limit_effort=jnp.full((7,), box, iiwa_struct.dtype)
+        )
+        ee = struct.link_index("iiwa_link_ee")
+        config = DynamicMPCConfig(
+            horizon=8, iters_per_step=3, respect_effort_limits=True
+        )
+        state = dynamic_mpc_init(
+            struct, jnp.zeros(7, jnp.float32), jnp.zeros(7, jnp.float32),
+            config,
+        )
+        goal = jnp.asarray([0.4, 0.2, 0.6], jnp.float32)
+        step = jax.jit(make_dynamic_mpc_step(struct, ee, config))
+        for _ in range(3):
+            state, metrics = step(state, goal)
+            assert np.all(np.abs(np.asarray(state.plan)) <= box + 1e-5)
+        assert np.all(np.isfinite(np.asarray(state.qd)))
+
 
 class TestCheckpoint:
     def test_roundtrip_params(self, tmp_path, iiwa_struct):

@@ -535,3 +535,158 @@ def test_kinematic_batched_solver_horizon_one(iiwa_scenarios):
     assert res_b.actions.shape == (q0.shape[0], 1, 7)
     assert np.allclose(np.asarray(res_b.cost), np.asarray(res_v.cost), rtol=1e-5)
     assert np.all(np.isfinite(np.asarray(res_b.actions)))
+
+
+# ---------------------------------------------------------------------------
+# Effort limits (actuator box constraints) in the torque-space solvers
+# ---------------------------------------------------------------------------
+
+
+def test_effort_limits_box_constraint(iiwa_scenarios):
+    """respect_effort_limits=True keeps every returned torque inside the
+    URDF effort box even when it binds hard (5 Nm is far below the iiwa's
+    gravity-compensation torques), and the clamped solve still improves.
+    The reference parses effort limits (urdf_utils.py:59-64) but never
+    enforces them — this is the box-constraint half of SURVEY §7 step 5."""
+    struct, ee, q0, qd0, goals = iiwa_scenarios
+    box = 5.0
+    tight = struct.with_arrays(
+        limit_effort=jnp.full((7,), box, struct.dtype)
+    )
+    res = solve_dynamic_adam_batch(
+        tight, q0, qd0, goals, ee, horizon=10, n_iters=8, lr=1.0, eps=1e-1,
+        respect_effort_limits=True,
+    )
+    a = np.asarray(res.actions)
+    assert np.all(np.abs(a) <= box + 1e-5)
+    assert np.any(np.abs(a) > 0.99 * box)  # the constraint actually binds
+    hist = np.asarray(res.cost_history)
+    assert np.all(np.isfinite(hist))
+    assert np.all(hist[-1] < hist[0])
+
+
+def test_effort_limits_batch_matches_unbatched(iiwa_scenarios):
+    """Dof-major batched == vmapped per-sample solver with the box active."""
+    struct, ee, q0, qd0, goals = iiwa_scenarios
+    tight = struct.with_arrays(
+        limit_effort=jnp.full((7,), 20.0, struct.dtype)
+    )
+    kw = dict(horizon=8, n_iters=6, lr=1.0, eps=1e-1,
+              respect_effort_limits=True)
+    res_b = solve_dynamic_adam_batch(tight, q0, qd0, goals, ee, **kw)
+    res_v = jax.vmap(
+        lambda a, b, c: solve_dynamic_adam(tight, a, b, c, ee, **kw)
+    )(q0, qd0, goals)
+    assert np.allclose(
+        np.asarray(res_b.actions), np.asarray(res_v.actions), atol=1e-5
+    )
+    assert np.allclose(np.asarray(res_b.cost), np.asarray(res_v.cost), rtol=1e-5)
+
+
+def test_effort_limits_nonpositive_means_unbounded(iiwa_scenarios):
+    """Missing/non-positive URDF effort limits are unbounded: the flag is a
+    no-op on such robots (matching _velocity_bound's convention)."""
+    struct, ee, q0, qd0, goals = iiwa_scenarios
+    unb = struct.with_arrays(limit_effort=jnp.zeros((7,), struct.dtype))
+    kw = dict(horizon=8, n_iters=6, lr=1.0, eps=1e-1)
+    res_on = solve_dynamic_adam_batch(
+        unb, q0, qd0, goals, ee, respect_effort_limits=True, **kw
+    )
+    res_off = solve_dynamic_adam_batch(struct, q0, qd0, goals, ee, **kw)
+    assert np.allclose(
+        np.asarray(res_on.actions), np.asarray(res_off.actions), atol=1e-6
+    )
+
+
+def test_effort_limited_rollout_clamps_torques(iiwa_scenarios):
+    """dynamic_rollout_dof_major(respect_effort_limits=True) equals feeding
+    pre-clamped torques through the unconstrained rollout."""
+    struct, ee, q0, qd0, _ = iiwa_scenarios
+    from differentiable_robot_model_tpu.trajopt.rollout import clip_to_effort
+
+    tight = struct.with_arrays(limit_effort=jnp.full((7,), 3.0, struct.dtype))
+    rng = np.random.default_rng(11)
+    taus = jnp.asarray(rng.normal(0, 10.0, (6, 7, q0.shape[0])), jnp.float32)
+    qs_a, qds_a = dynamic_rollout_dof_major(
+        tight, q0.T, qd0.T, taus, dt=0.01, respect_effort_limits=True
+    )
+    clamped = jnp.clip(taus, -3.0, 3.0)
+    qs_b, qds_b = dynamic_rollout_dof_major(tight, q0.T, qd0.T, clamped, dt=0.01)
+    assert np.allclose(np.asarray(qs_a), np.asarray(qs_b), atol=1e-7)
+    assert np.allclose(np.asarray(qds_a), np.asarray(qds_b), atol=1e-7)
+    # dof-last public helper agrees
+    assert np.allclose(
+        np.asarray(clip_to_effort(tight, taus.transpose(0, 2, 1))),
+        np.asarray(clamped.transpose(0, 2, 1)),
+    )
+
+
+def test_ilqr_control_bounds():
+    """Control-limited iLQR (forward-pass projection): every control in
+    every accepted trajectory stays inside the box, the constraint binds,
+    and the solve still converges toward the unconstrained target."""
+    from differentiable_robot_model_tpu import DifferentiableTwoLinkRobot
+    from differentiable_robot_model_tpu.ops import dynamics as D
+
+    struct = DifferentiableTwoLinkRobot().struct
+    dt = 0.05
+    q_target = jnp.asarray([0.8, -0.4], jnp.float32)
+
+    def dynamics(x, u):
+        q, qd = x[:2], x[2:]
+        qdd = D.forward_dynamics_crb(struct, q, qd, u, use_damping=True)
+        qd2 = qd + dt * qdd
+        return jnp.concatenate([q + dt * qd2, qd2])
+
+    def cost(x, u):
+        return (
+            0.001 * jnp.sum(u * u)
+            + 5.0 * jnp.sum((x[:2] - q_target) ** 2)
+            + 0.1 * jnp.sum(x[2:] ** 2)
+        )
+
+    def final_cost(x):
+        return 500.0 * jnp.sum((x[:2] - q_target) ** 2) + 5.0 * jnp.sum(
+            x[2:] ** 2
+        )
+
+    x0 = jnp.zeros(4, jnp.float32)
+    # init deliberately OUTSIDE the box: entry clamping must project it
+    us0 = jnp.full((25, 2), 9.0, jnp.float32)
+    box = 2.0
+    res = jax.jit(
+        lambda: ilqr(
+            dynamics, cost, final_cost, x0, us0, n_iters=20,
+            control_bounds=(-box, box),
+        )
+    )()
+    us = np.asarray(res.us)
+    assert np.all(np.abs(us) <= box + 1e-6)
+    assert np.any(np.abs(us) > 0.99 * box)  # the box binds on this task
+    hist = np.asarray(res.cost_history)
+    assert np.all(np.isfinite(hist))
+    assert hist[-1] < hist[0] * 0.1
+    # still reaches the target (the box slows, not blocks, this plant)
+    assert (
+        np.linalg.norm(np.asarray(res.xs[-1][:2]) - np.asarray(q_target))
+        < 0.1
+    )
+
+
+def test_dynamic_rollout_remat_same_values_and_gradients(iiwa_scenarios):
+    """remat=True (checkpointed integration step) changes memory behavior
+    only: values and reverse-mode gradients match the default exactly."""
+    struct, ee, q0, qd0, _ = iiwa_scenarios
+    rng = np.random.default_rng(13)
+    taus = jnp.asarray(rng.normal(0, 2.0, (5, 7, q0.shape[0])), jnp.float32)
+
+    def loss(taus_, remat):
+        qs, qds = dynamic_rollout_dof_major(
+            struct, q0.T, qd0.T, taus_, dt=0.01, remat=remat
+        )
+        return jnp.sum(qs**2) + jnp.sum(qds**2)
+
+    v0, g0 = jax.value_and_grad(lambda t: loss(t, False))(taus)
+    v1, g1 = jax.value_and_grad(lambda t: loss(t, True))(taus)
+    assert np.allclose(float(v0), float(v1), rtol=1e-7)
+    assert np.allclose(np.asarray(g0), np.asarray(g1), atol=1e-6)
