@@ -1,0 +1,209 @@
+"""Cross-validation against the UPSTREAM REFERENCE implementation itself.
+
+The strongest author-independence check available on this host: the
+reference library (/root/reference, PyTorch) is imported and EXECUTED as
+the oracle — the same role pybullet plays in the reference's own suite
+(`/root/reference/tests/test_kinematics_dynamics.py:112-131`). Every
+expected value here is produced by code this repo's authors did not write.
+
+Requires torch (CPU) and the reference checkout; skipped cleanly when
+either is unavailable. The reference's one external dependency,
+`urdf_parser_py`, is satisfied by the minimal test-only stub in
+`tests/refstub/` (see its docstring).
+
+Covered per robot (2link, iiwa, panda, trifinger — incl. a branched tree):
+FK position+quaternion for every link, geometric end-effector Jacobian,
+RNEA inverse dynamics (with and without damping/gravity), mass matrix,
+ABA forward dynamics, and one gradient: d tau / d q of the summed RNEA
+torque, reference autograd vs jax.grad.
+
+Both sides run float32; tolerances sit at the float32 agreement level of
+two independent formulations (the reference validates itself against
+pybullet at FK 1e-6 / ID 1e-5 / mass 1e-3 rel / FD 1e-2 rel —
+`/root/reference/tests/test_kinematics_dynamics.py:265-511`).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+REF_ROOT = "/root/reference"
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+torch = pytest.importorskip("torch")
+if not os.path.isdir(os.path.join(REF_ROOT, "differentiable_robot_model")):
+    pytest.skip("reference checkout not available", allow_module_level=True)
+
+# Make the reference (and its urdf_parser_py dependency, via the test-only
+# stub) importable without installing anything.
+for p in (os.path.join(_HERE, "refstub"), REF_ROOT):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+ref = pytest.importorskip("differentiable_robot_model.robot_model")
+
+import differentiable_robot_model_tpu as drm  # noqa: E402
+
+ROBOTS = [
+    # (name, ours ctor, reference ctor, ee link)
+    ("2link", drm.DifferentiableTwoLinkRobot, ref.DifferentiableTwoLinkRobot,
+     "endEffector"),
+    ("iiwa", drm.DifferentiableKUKAiiwa, ref.DifferentiableKUKAiiwa,
+     "iiwa_link_ee"),
+    ("panda", drm.DifferentiableFrankaPanda, ref.DifferentiableFrankaPanda,
+     "panda_virtual_ee_link"),
+    ("trifinger", drm.DifferentiableTrifingerEdu, ref.DifferentiableTrifingerEdu,
+     "finger_tip_link_0"),
+]
+
+
+@pytest.fixture(scope="module", params=ROBOTS, ids=[r[0] for r in ROBOTS])
+def pair(request):
+    name, ours_ctor, ref_ctor, ee = request.param
+    ours = ours_ctor()
+    theirs = ref_ctor(device="cpu")
+    D = ours.struct.n_dofs
+    assert theirs._n_dofs == D, (name, theirs._n_dofs, D)
+    rng = np.random.default_rng(hash(name) % 2**32)
+    lo = np.asarray(ours.struct.limit_lower, np.float64)
+    hi = np.asarray(ours.struct.limit_upper, np.float64)
+    lo = np.where(np.isfinite(lo), lo, -np.pi)
+    hi = np.where(np.isfinite(hi), hi, np.pi)
+    B = 3
+    q = rng.uniform(0.6 * lo, 0.6 * hi, (B, D)).astype(np.float32)
+    qd = rng.uniform(-0.6, 0.6, (B, D)).astype(np.float32)
+    qdd = rng.uniform(-1.5, 1.5, (B, D)).astype(np.float32)
+    return name, ours, theirs, ee, q, qd, qdd
+
+
+def _t(x):
+    # always copy: torch.as_tensor would share memory with the numpy input,
+    # and the reference mutates arguments in place (compute_forward_dynamics
+    # does `f -= damping * qd`, robot_model.py:516-521)
+    return torch.tensor(np.asarray(x), dtype=torch.float32)
+
+
+def _aligned_quat_err(qa, qb):
+    """Max elementwise quaternion error after sign alignment (q ~ -q)."""
+    sign = np.sign(np.sum(qa * qb, axis=-1, keepdims=True))
+    sign = np.where(sign == 0, 1.0, sign)
+    return np.abs(qa * sign - qb).max()
+
+
+class TestVsReferenceImplementation:
+    def test_forward_kinematics_all_links(self, pair):
+        name, ours, theirs, ee, q, qd, qdd = pair
+        ref_fk = theirs.compute_forward_kinematics_all_links(_t(q))
+        our_fk = ours.compute_forward_kinematics_all_links(jnp.asarray(q))
+        shared = [ln for ln in our_fk if ln in ref_fk]
+        # every link of ours that the reference also materializes must match
+        assert ee in shared and len(shared) >= ours.struct.n_dofs
+        for ln in shared:
+            pos_r, quat_r = (np.asarray(t.detach()) for t in ref_fk[ln])
+            pos_o, quat_o = (np.asarray(t) for t in our_fk[ln])
+            assert np.allclose(pos_o, pos_r, atol=2e-6), (name, ln)
+            assert _aligned_quat_err(quat_o, quat_r) < 5e-6, (name, ln)
+
+    def test_forward_kinematics_single_link(self, pair):
+        name, ours, theirs, ee, q, qd, qdd = pair
+        pos_r, quat_r = theirs.compute_forward_kinematics(_t(q), ee)
+        pos_o, quat_o = ours.compute_forward_kinematics(jnp.asarray(q), ee)
+        assert np.allclose(np.asarray(pos_o), pos_r.detach().numpy(),
+                           atol=2e-6)
+        assert _aligned_quat_err(np.asarray(quat_o),
+                                 quat_r.detach().numpy()) < 5e-6
+
+    def test_endeffector_jacobian(self, pair):
+        name, ours, theirs, ee, q, qd, qdd = pair
+        lin_r, ang_r = theirs.compute_endeffector_jacobian(_t(q), ee)
+        lin_o, ang_o = ours.compute_endeffector_jacobian(jnp.asarray(q), ee)
+        assert np.allclose(np.asarray(lin_o), lin_r.detach().numpy(),
+                           atol=1e-5), name
+        assert np.allclose(np.asarray(ang_o), ang_r.detach().numpy(),
+                           atol=1e-5), name
+
+    @pytest.mark.parametrize("gravity,damping", [(True, True), (True, False),
+                                                 (False, False)])
+    def test_inverse_dynamics(self, pair, gravity, damping):
+        name, ours, theirs, ee, q, qd, qdd = pair
+        tau_r = theirs.compute_inverse_dynamics(
+            _t(q), _t(qd), _t(qdd), include_gravity=gravity,
+            use_damping=damping,
+        ).detach().numpy()
+        tau_o = np.asarray(ours.compute_inverse_dynamics(
+            jnp.asarray(q), jnp.asarray(qd), jnp.asarray(qdd),
+            include_gravity=gravity, use_damping=damping,
+        ))
+        scale = max(1.0, np.abs(tau_r).max())
+        assert np.abs(tau_o - tau_r).max() < 2e-5 * scale, (
+            name, np.abs(tau_o - tau_r).max(), scale)
+
+    def test_non_linear_effects(self, pair):
+        name, ours, theirs, ee, q, qd, qdd = pair
+        nle_r = theirs.compute_non_linear_effects(_t(q), _t(qd))
+        nle_o = ours.compute_non_linear_effects(jnp.asarray(q), jnp.asarray(qd))
+        scale = max(1.0, np.abs(nle_r.detach().numpy()).max())
+        assert np.abs(np.asarray(nle_o) - nle_r.detach().numpy()).max() \
+            < 2e-5 * scale, name
+
+    def test_mass_matrix(self, pair):
+        name, ours, theirs, ee, q, qd, qdd = pair
+        H_r = theirs.compute_lagrangian_inertia_matrix(_t(q)).detach().numpy()
+        H_o = np.asarray(ours.compute_lagrangian_inertia_matrix(jnp.asarray(q)))
+        scale = max(1.0, np.abs(H_r).max())
+        assert np.abs(H_o - H_r).max() < 2e-5 * scale, name
+
+    @pytest.mark.parametrize("method", ["crb", "aba"])
+    def test_forward_dynamics(self, pair, method):
+        name, ours, theirs, ee, q, qd, qdd = pair
+        f = 0.3 * qdd  # modest applied torques
+        qdd_r = theirs.compute_forward_dynamics(
+            _t(q), _t(qd), _t(f), include_gravity=True, use_damping=True,
+        ).detach().numpy()
+        qdd_o = np.asarray(ours.compute_forward_dynamics(
+            jnp.asarray(q), jnp.asarray(qd), jnp.asarray(f),
+            include_gravity=True, use_damping=True, method=method,
+        ))
+        scale = max(1.0, np.abs(qdd_r).max())
+        assert np.abs(qdd_o - qdd_r).max() < 2e-4 * scale, (
+            name, method, np.abs(qdd_o - qdd_r).max(), scale)
+
+    def test_id_fd_roundtrip_cross(self, pair):
+        """OUR forward dynamics inverts THEIR inverse dynamics: feed the
+        reference's RNEA torques into our ABA and recover qdd."""
+        name, ours, theirs, ee, q, qd, qdd = pair
+        tau_r = theirs.compute_inverse_dynamics(
+            _t(q), _t(qd), _t(qdd), include_gravity=True, use_damping=True,
+        ).detach().numpy()
+        qdd_o = np.asarray(ours.compute_forward_dynamics(
+            jnp.asarray(q), jnp.asarray(qd), jnp.asarray(tau_r),
+            include_gravity=True, use_damping=True,
+        ))
+        scale = max(1.0, np.abs(qdd).max())
+        assert np.abs(qdd_o - qdd).max() < 5e-4 * scale, name
+
+    def test_rnea_gradient_vs_reference_autograd(self, pair):
+        """d/dq [sum tau]: jax.grad through our RNEA == torch.autograd
+        through the reference's — gradients, not just values."""
+        name, ours, theirs, ee, q, qd, qdd = pair
+        qt = _t(q[:1]).requires_grad_(True)
+        tau = theirs.compute_inverse_dynamics(
+            qt, _t(qd[:1]), _t(qdd[:1]), include_gravity=True,
+            use_damping=True,
+        )
+        (g_ref,) = torch.autograd.grad(tau.sum(), qt)
+
+        def f(qq):
+            return jnp.sum(ours.compute_inverse_dynamics(
+                qq, jnp.asarray(qd[0]), jnp.asarray(qdd[0]),
+                include_gravity=True, use_damping=True,
+            ))
+
+        g_our = np.asarray(jax.grad(f)(jnp.asarray(q[0])))
+        scale = max(1.0, np.abs(g_ref.numpy()).max())
+        assert np.abs(g_our - g_ref.numpy()[0]).max() < 5e-4 * scale, name
