@@ -1,0 +1,143 @@
+"""Solver-level parity against the reference's trajectory optimization.
+
+The reference's only MPC-shaped workload is
+examples/run_kinematic_trajectory_opt.py: 100 torch-Adam(lr=1e-3) steps on
+a [H, 7] action sequence through a clamped kinematic rollout of the panda
+with per-step gradient detach, DenseGoalCost (mean of (100*(traj-goal))^2)
+against the q=0 end-effector position. This test drives the REFERENCE
+LIBRARY through exactly that loop (its public API + torch.optim, the
+user-facing workflow its example documents) and runs our
+`solve_kinematic_adam(stop_gradient_between_steps=True)` on the identical
+problem — the north-star "controls match the CPU reference" gate measured
+against the actual upstream implementation rather than our own CPU twin.
+
+Adam eps is set to the gradient-scale value (1e-1) ON BOTH SIDES: with the
+default 1e-8, null-space action directions (gradients below float32 noise)
+take +-lr coin-flip steps in ANY implementation, so two numerically
+distinct frameworks diverge to O(lr) in those coordinates while costs
+agree to 1e-7 (see solve_kinematic_adam_batch's docstring). A second test
+pins exactly that: default-eps cost histories still match.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+REF_ROOT = "/root/reference"
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+torch = pytest.importorskip("torch")
+if not os.path.isdir(os.path.join(REF_ROOT, "differentiable_robot_model")):
+    pytest.skip("reference checkout not available", allow_module_level=True)
+
+for p in (os.path.join(_HERE, "refstub"), REF_ROOT):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+ref = pytest.importorskip("differentiable_robot_model.robot_model")
+
+import differentiable_robot_model_tpu as drm  # noqa: E402
+from differentiable_robot_model_tpu.trajopt.solvers import (  # noqa: E402
+    solve_kinematic_adam,
+)
+
+START = [0.0, 0.0, 0.0, -1.5, 0.0, 1.6, 0.0]
+EE = "panda_virtual_ee_link"
+H = 20
+ITERS = 100
+LR = 1e-3
+
+
+def _reference_solve(eps):
+    """The reference example's optimization loop
+    (run_kinematic_trajectory_opt.py:17-99), through the reference API."""
+    model = ref.DifferentiableFrankaPanda(device="cpu")
+    limits = model.get_joint_limits()
+    lo = torch.tensor([j["lower"] for j in limits])
+    hi = torch.tensor([j["upper"] for j in limits])
+    start = torch.tensor(START)
+    goal, _ = model.compute_forward_kinematics(torch.zeros(1, 7), EE)
+
+    def fwd(q, a):
+        nxt = torch.clamp(q + a, min=lo, max=hi)
+        ee, _ = model.compute_forward_kinematics(nxt.reshape(1, 7), EE)
+        return nxt, ee.squeeze()
+
+    def rollout(actions):
+        traj = []
+        q, ee = fwd(start, torch.zeros(7))
+        traj.append(ee)
+        for t in range(H - 1):
+            q, ee = fwd(q.detach(), actions[t])
+            traj.append(ee)
+        return torch.stack(traj)
+
+    actions = torch.nn.Parameter(torch.zeros(H, 7))
+    opt = torch.optim.Adam([actions], lr=LR, eps=eps)
+    costs = []
+    for _ in range(ITERS):
+        opt.zero_grad()
+        cost = ((100.0 * (rollout(actions) - goal)) ** 2).mean()
+        cost.backward()
+        opt.step()
+        costs.append(float(cost))
+    return (
+        actions.detach().numpy(),
+        np.asarray(costs),
+        goal.detach().numpy().reshape(3),
+    )
+
+
+def _our_solve(goal, eps):
+    robot = drm.DifferentiableFrankaPanda()
+    struct = robot.struct
+    res = solve_kinematic_adam(
+        struct,
+        jnp.asarray(START, jnp.float32),
+        jnp.asarray(goal, jnp.float32),
+        struct.link_index(EE),
+        horizon=H,
+        n_iters=ITERS,
+        lr=LR,
+        goal_weight=100.0,
+        stop_gradient_between_steps=True,
+        eps=eps,
+    )
+    return np.asarray(res.actions), np.asarray(res.cost_history)
+
+
+class TestVsReferenceTrajOpt:
+    def test_controls_match_at_gradient_scale_eps(self):
+        """max |controls_ours - controls_reference| <= 1e-3 (the driver
+        north-star gate, BASELINE.json) against the actual torch
+        reference."""
+        a_ref, c_ref, goal = _reference_solve(eps=1e-1)
+        a_our, c_our = _our_solve(goal, eps=1e-1)
+        err = np.abs(a_our - a_ref).max()
+        assert err <= 1e-3, err
+        # costs agree tightly all along the optimization
+        assert np.allclose(c_our, c_ref, rtol=1e-3), (
+            np.abs(c_our - c_ref).max())
+        # and the solve actually made progress
+        assert c_ref[-1] < 0.25 * c_ref[0]
+
+    def test_default_eps_costs_track_while_controls_random_walk(self):
+        """Measured against the true torch reference, the documented
+        default-eps behavior (solve_kinematic_adam_batch docstring): with
+        eps=1e-8 the null-space control coordinates random-walk apart to
+        O(100 lr) while the optimization trajectory stays glued — early
+        cost history to 1e-2 relative, final cost within 5%."""
+        a_ref, c_ref, goal = _reference_solve(eps=1e-8)
+        a_our, c_our = _our_solve(goal, eps=1e-8)
+        # before the +-lr noise steps accumulate, the histories coincide
+        assert np.allclose(c_our[:20], c_ref[:20], rtol=1e-2), (
+            np.abs(c_our[:20] / c_ref[:20] - 1.0).max())
+        assert abs(c_our[-1] / c_ref[-1] - 1.0) < 5e-2
+        # ... and the controls really do diverge at default eps (this is
+        # WHY the deployment setting is the gradient-scale eps above)
+        assert np.abs(a_our - a_ref).max() > 1e-2
