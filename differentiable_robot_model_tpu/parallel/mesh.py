@@ -76,6 +76,7 @@ def sharded_kinematic_mpc(
     fk_impl: str = "pallas",
     eps: float = 1e-8,
     axis_name: str = SCENARIO_AXIS,
+    **solver_kwargs,
 ):
     """Mesh-sharded wrapper of the dof-major batched MPC solver.
 
@@ -95,6 +96,7 @@ def sharded_kinematic_mpc(
             robot, q0, goals, ee_link_idx,
             horizon=horizon, n_iters=n_iters, lr=lr,
             goal_weight=goal_weight, fk_impl=fk_impl, eps=eps,
+            **solver_kwargs,
         )
         return res.actions, res.cost
 
@@ -119,6 +121,7 @@ def sharded_dynamic_mpc(
     effort_weight: float = 1e-4,
     eps: float = 1e-8,
     axis_name: str = SCENARIO_AXIS,
+    **solver_kwargs,
 ):
     """Mesh-sharded wrapper of the dof-major batched TORQUE-SPACE MPC solver
     (the dynamics-in-the-loop flagship, trajopt/solvers.py
@@ -133,7 +136,9 @@ def sharded_dynamic_mpc(
     Defaults match `solve_dynamic_adam_batch` exactly, so the sharded and
     unsharded forms agree bitwise under identical kwargs (deployment runs
     pass eps=1e-1 explicitly — see bench.py and trajopt/solvers.py on why a
-    gradient-scale eps is the production setting).
+    gradient-scale eps is the production setting). Extra keyword arguments
+    (`respect_effort_limits`, `use_damping`, `precondition`,
+    `rollout_unroll`, `rollout_remat`, ...) forward verbatim to the solver.
     """
     from jax import shard_map
 
@@ -144,6 +149,7 @@ def sharded_dynamic_mpc(
             robot, q0, qd0, goals, ee_link_idx,
             horizon=horizon, dt=dt, n_iters=n_iters, lr=lr,
             goal_weight=goal_weight, effort_weight=effort_weight, eps=eps,
+            **solver_kwargs,
         )
         return res.actions, res.cost
 

@@ -276,3 +276,37 @@ def test_grad_through_sharded_solve(mesh, iiwa):
     g = jax.jit(jax.grad(mean_cost))(shard_scenarios(mesh, goal))
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_sharded_dynamic_mpc_forwards_solver_kwargs(mesh, iiwa):
+    """sharded_dynamic_mpc passes extra solver kwargs through verbatim:
+    with respect_effort_limits=True on a deliberately tight actuator box,
+    the sharded solve equals the unsharded solve and obeys the box."""
+    from differentiable_robot_model_tpu.parallel.mesh import (
+        shard_scenarios,
+        sharded_dynamic_mpc,
+    )
+    from differentiable_robot_model_tpu.trajopt.solvers import (
+        solve_dynamic_adam_batch,
+    )
+
+    box = 15.0
+    struct = iiwa.struct.with_arrays(
+        limit_effort=jnp.full((7,), box, iiwa.struct.dtype)
+    )
+    ee = struct.link_index("iiwa_link_ee")
+    B, H = 8, 4
+    rng = np.random.default_rng(5)
+    q0 = jnp.asarray(rng.uniform(-0.4, 0.4, (B, 7)), jnp.float32)
+    qd0 = jnp.zeros((B, 7), jnp.float32)
+    goal = jnp.asarray(rng.uniform(0.2, 0.5, (B, 3)), jnp.float32)
+
+    kw = dict(horizon=H, n_iters=3, lr=0.5, eps=1e-1,
+              respect_effort_limits=True)
+    solver = sharded_dynamic_mpc(mesh, struct, ee, **kw)
+    acts_sh, cost_sh = solver(*shard_scenarios(mesh, (q0, qd0, goal)))
+    res = solve_dynamic_adam_batch(struct, q0, qd0, goal, ee, **kw)
+    assert np.allclose(np.asarray(acts_sh), np.asarray(res.actions), atol=1e-6)
+    assert np.allclose(np.asarray(cost_sh), np.asarray(res.cost), rtol=1e-6)
+    assert np.all(np.abs(np.asarray(acts_sh)) <= box + 1e-5)
+    assert len(acts_sh.sharding.device_set) == 8
