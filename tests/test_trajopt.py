@@ -690,3 +690,93 @@ def test_dynamic_rollout_remat_same_values_and_gradients(iiwa_scenarios):
     v1, g1 = jax.value_and_grad(lambda t: loss(t, True))(taus)
     assert np.allclose(float(v0), float(v1), rtol=1e-7)
     assert np.allclose(np.asarray(g0), np.asarray(g1), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# MPPI (sampling-based torque-space MPC)
+# ---------------------------------------------------------------------------
+
+
+def test_mppi_improves_and_is_deterministic(iiwa_scenarios):
+    """MPPI improves on the gravity-comp hover baseline and is a pure
+    function of its PRNG key."""
+    from differentiable_robot_model_tpu.trajopt.solvers import (
+        solve_dynamic_mppi,
+    )
+
+    struct, ee, q0, qd0, goals = iiwa_scenarios
+    key = jax.random.key(7)
+    solve = jax.jit(lambda q, qd, g, k: solve_dynamic_mppi(
+        struct, q, qd, g, ee, horizon=8, key=k, n_samples=64, n_iters=6,
+    ))
+    res = solve(q0[0], qd0[0], goals[0], key)
+    hist = np.asarray(res.cost_history)
+    assert np.all(np.isfinite(hist))
+    # hover cost = cost of the zero-delta nominal; sampling must beat it
+    from differentiable_robot_model_tpu.trajopt.solvers import (
+        solve_dynamic_adam,
+    )
+    hover = float(solve_dynamic_adam(
+        struct, q0[0], qd0[0], goals[0], ee, horizon=8, n_iters=1, lr=0.0,
+    ).cost)
+    assert float(res.cost) < hover
+    res2 = solve(q0[0], qd0[0], goals[0], key)
+    assert np.allclose(np.asarray(res.actions), np.asarray(res2.actions))
+    res3 = solve(q0[0], qd0[0], goals[0], jax.random.key(8))
+    assert not np.allclose(np.asarray(res.actions), np.asarray(res3.actions))
+
+
+def test_mppi_respects_effort_box(iiwa_scenarios):
+    """With respect_effort_limits=True every returned torque obeys a
+    deliberately tight URDF box (which binds: gravity comp alone needs
+    more than 5 Nm on the iiwa)."""
+    from differentiable_robot_model_tpu.trajopt.solvers import (
+        solve_dynamic_mppi,
+    )
+
+    struct, ee, q0, qd0, goals = iiwa_scenarios
+    box = 5.0
+    tight = struct.with_arrays(limit_effort=jnp.full((7,), box, struct.dtype))
+    res = solve_dynamic_mppi(
+        tight, q0[0], qd0[0], goals[0], ee, horizon=8,
+        key=jax.random.key(0), n_samples=32, n_iters=4,
+        respect_effort_limits=True,
+    )
+    a = np.asarray(res.actions)
+    assert np.all(np.abs(a) <= box + 1e-5)
+    assert np.any(np.abs(a) > 0.99 * box)
+    assert np.all(np.isfinite(np.asarray(res.cost_history)))
+
+
+def test_mppi_warm_start_and_batch(iiwa_scenarios):
+    """Warm-starting MPPI from an Adam solve's torques starts at (or below)
+    that solve's cost, and the batch wrapper stacks per-scenario solves."""
+    from differentiable_robot_model_tpu.trajopt.solvers import (
+        solve_dynamic_adam,
+        solve_dynamic_mppi,
+        solve_dynamic_mppi_batch,
+    )
+
+    struct, ee, q0, qd0, goals = iiwa_scenarios
+    adam = solve_dynamic_adam(
+        struct, q0[0], qd0[0], goals[0], ee, horizon=8, n_iters=6, lr=0.5,
+        eps=1e-1,
+    )
+    res = solve_dynamic_mppi(
+        struct, q0[0], qd0[0], goals[0], ee, horizon=8,
+        key=jax.random.key(1), n_samples=64, n_iters=4,
+        init_actions=adam.actions,
+    )
+    # sample 0 is the unperturbed warm start, so MPPI can only improve on
+    # the warm-start cost (up to the effort-term bookkeeping, identical
+    # cost definitions)
+    assert float(res.cost) <= float(adam.cost) * 1.02
+    assert np.all(np.isfinite(np.asarray(res.actions)))
+
+    B = q0.shape[0]
+    rb = jax.jit(lambda q, qd, g, k: solve_dynamic_mppi_batch(
+        struct, q, qd, g, ee, horizon=6, key=k, n_samples=32, n_iters=3,
+    ))(q0, qd0, goals, jax.random.key(2))
+    assert rb.actions.shape == (B, 6, 7)
+    assert rb.cost.shape == (B,)
+    assert np.all(np.isfinite(np.asarray(rb.cost_history)))

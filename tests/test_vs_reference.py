@@ -42,9 +42,12 @@ if not os.path.isdir(os.path.join(REF_ROOT, "differentiable_robot_model")):
 
 # Make the reference (and its urdf_parser_py dependency, via the test-only
 # stub) importable without installing anything.
+# APPEND (not prepend): the reference checkout contains top-level package
+# names that must not shadow this repo's (e.g. its stale `experiments/`
+# package vs our runnable one).
 for p in (os.path.join(_HERE, "refstub"), REF_ROOT):
     if p not in sys.path:
-        sys.path.insert(0, p)
+        sys.path.append(p)
 
 ref = pytest.importorskip("differentiable_robot_model.robot_model")
 

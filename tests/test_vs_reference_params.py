@@ -36,9 +36,12 @@ torch = pytest.importorskip("torch")
 if not os.path.isdir(os.path.join(REF_ROOT, "differentiable_robot_model")):
     pytest.skip("reference checkout not available", allow_module_level=True)
 
+# APPEND (not prepend): the reference checkout contains top-level package
+# names that must not shadow this repo's (e.g. its stale `experiments/`
+# package vs our runnable one).
 for p in (os.path.join(_HERE, "refstub"), REF_ROOT):
     if p not in sys.path:
-        sys.path.insert(0, p)
+        sys.path.append(p)
 
 rbp = pytest.importorskip("differentiable_robot_model.rigid_body_params")
 
