@@ -325,3 +325,108 @@ def run_mpc(
     state0 = mpc_init(robot, q0, config)
     final, (metrics, q_traj) = jax.lax.scan(body, state0, None, length=n_steps)
     return final, metrics, q_traj
+
+
+# ---------------------------------------------------------------------------
+# Closed-loop MPPI (sampling-based) MPC
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class MPPIMPCConfig:
+    """Config for the closed-loop sampling-based (MPPI) MPC step."""
+
+    horizon: int = 30
+    iters_per_step: int = 5
+    n_samples: int = 128
+    temperature: float = 0.01
+    noise_sigma: float = 5.0  # rad/s^2 (acceleration-unit sampling)
+    dt: float = 0.02
+    goal_weight: float = 10.0
+    effort_weight: float = 1e-4
+    replan_interval: int = 1
+    respect_effort_limits: bool = False
+
+
+class MPPIMPCState(NamedTuple):
+    q: jnp.ndarray  # [D]
+    qd: jnp.ndarray  # [D]
+    plan: jnp.ndarray  # [H, D] warm-start ABSOLUTE torque sequence
+    key: jnp.ndarray  # PRNG key threaded through replans
+    step_count: jnp.ndarray  # []
+
+
+def mppi_mpc_init(
+    robot: RobotStruct, q0: jnp.ndarray, qd0: jnp.ndarray,
+    config: MPPIMPCConfig, key,
+) -> MPPIMPCState:
+    """Initial state: plan at gravity compensation, PRNG key owned by the
+    state so the whole closed loop stays a pure function."""
+    from ..ops.dynamics_scalar import rnea_scalar
+
+    q0 = jnp.asarray(q0, robot.dtype)
+    qd0 = jnp.asarray(qd0, robot.dtype)
+    tau_ref = rnea_scalar(robot, q0, jnp.zeros_like(q0), jnp.zeros_like(q0))
+    plan = jnp.tile(tau_ref[None], (config.horizon, 1))
+    return MPPIMPCState(q0, qd0, plan, key, jnp.zeros((), jnp.int32))
+
+
+def make_mppi_mpc_step(
+    robot: RobotStruct, ee_link_idx: int, config: MPPIMPCConfig
+):
+    """Closed-loop MPPI step: (state, goal) -> (state', metrics).
+
+    The sampling twin of `make_dynamic_mpc_step`: per control tick,
+    `solve_dynamic_mppi` replans from the warm-started previous plan
+    (shifted absolute torques), then the plant executes
+    `replan_interval` steps of the SAME integrator the samples used.
+    Derivative-free, so the closed loop tolerates cost terms the gradient
+    driver cannot (discontinuous penalties, contact-like terms). Pure and
+    vmappable (thread per-scenario keys via the state).
+    """
+    from ..ops import kinematics as K
+    from .rollout import _velocity_bound, fd_step_implicit_damping
+    from .solvers import solve_dynamic_mppi
+
+    vmax = _velocity_bound(robot, 0)
+
+    def step(state: MPPIMPCState, goal: jnp.ndarray):
+        key_next, key_solve = jax.random.split(state.key)
+        result = solve_dynamic_mppi(
+            robot, state.q, state.qd, goal, ee_link_idx,
+            horizon=config.horizon, key=key_solve,
+            n_samples=config.n_samples, n_iters=config.iters_per_step,
+            dt=config.dt, temperature=config.temperature,
+            noise_sigma=config.noise_sigma,
+            goal_weight=config.goal_weight,
+            effort_weight=config.effort_weight,
+            respect_effort_limits=config.respect_effort_limits,
+            init_actions=state.plan,
+        )
+        q, qd = state.q, state.qd
+        for i in range(config.replan_interval):
+            qdd = fd_step_implicit_damping(
+                robot, q, qd, result.actions[i], config.dt
+            )
+            qd = jnp.clip(qd + config.dt * qdd, -vmax, vmax)
+            q = q + config.dt * qd
+        n_exec = config.replan_interval
+        plan_next = jnp.concatenate(
+            [
+                result.actions[n_exec:],
+                jnp.tile(result.actions[-1:], (n_exec, 1)),
+            ]
+        )
+        ee = K.fk_link_position(robot, q, ee_link_idx)
+        metrics = MPCMetrics(
+            cost=result.cost,
+            cost_initial=result.cost_history[0],
+            goal_distance=jnp.linalg.norm(ee - goal),
+            plan_norm=jnp.sqrt(jnp.mean(result.actions**2)),
+        )
+        return (
+            MPPIMPCState(q, qd, plan_next, key_next, state.step_count + 1),
+            metrics,
+        )
+
+    return step

@@ -260,3 +260,50 @@ class TestDatasets:
         assert np.allclose(np.asarray(ds.var()), np.var(np.asarray(data["tau"]), axis=0))
         fds = ForwardDynamicsDataset(data)
         assert np.allclose(np.asarray(fds.var()), np.var(np.asarray(data["qdd"]), axis=0))
+
+
+class TestMPPIMPC:
+    def test_closed_loop_mppi_tracks_goal(self, iiwa_struct):
+        """Closed-loop MPPI: goal distance shrinks over replans, the state
+        stays bounded, and the loop is deterministic in the state's key."""
+        from differentiable_robot_model_tpu.ops import kinematics as K
+        from differentiable_robot_model_tpu.trajopt.mpc import (
+            MPPIMPCConfig,
+            make_mppi_mpc_step,
+            mppi_mpc_init,
+        )
+
+        struct = iiwa_struct
+        ee = struct.link_index("iiwa_link_ee")
+        q0 = jnp.zeros(7, jnp.float32).at[3].set(-1.2)
+        goal = K.fk_link_position(struct, q0, ee) + jnp.asarray(
+            [0.06, 0.06, -0.06], jnp.float32
+        )
+        config = MPPIMPCConfig(
+            horizon=8, iters_per_step=3, n_samples=48, replan_interval=1
+        )
+        step = jax.jit(make_mppi_mpc_step(struct, ee, config))
+        state = mppi_mpc_init(
+            struct, q0, jnp.zeros(7, jnp.float32), config, jax.random.key(3)
+        )
+        d0 = None
+        for _ in range(6):
+            state, metrics = step(state, goal)
+            if d0 is None:
+                d0 = float(metrics.goal_distance)
+        assert np.all(np.isfinite(np.asarray(state.q)))
+        assert float(metrics.goal_distance) < d0
+        assert int(state.step_count) == 6
+
+        # determinism: same init key -> identical trajectory
+        state_b = mppi_mpc_init(
+            struct, q0, jnp.zeros(7, jnp.float32), config, jax.random.key(3)
+        )
+        for _ in range(2):
+            state_b, _ = step(state_b, goal)
+        state_a = mppi_mpc_init(
+            struct, q0, jnp.zeros(7, jnp.float32), config, jax.random.key(3)
+        )
+        for _ in range(2):
+            state_a, _ = step(state_a, goal)
+        assert np.allclose(np.asarray(state_a.q), np.asarray(state_b.q))
