@@ -1,0 +1,101 @@
+"""On-chip throughput/latency for the MPPI (sampling) torque-space MPC.
+
+Two regimes:
+- FLEET: B scenarios x K samples — B*K forward-dynamics rollouts per
+  iteration in one jitted program (the TPU-native selling point: the
+  sample axis is just more batch lanes).
+- REPLAN: B=1, K samples — single-robot replan latency (the real-time
+  control question; compare benchmarks/latency.py's gradient-MPC rows).
+
+Emits one JSON line per configuration; run on the TPU chip.
+
+Usage: python benchmarks/mppi.py [--H 50] [--iters 10] [--out FILE]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--H", type=int, default=50)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import differentiable_robot_model_tpu as drm
+    from differentiable_robot_model_tpu.ops import kinematics as K
+    from differentiable_robot_model_tpu.trajopt.solvers import (
+        solve_dynamic_mppi,
+        solve_dynamic_mppi_batch,
+    )
+    from differentiable_robot_model_tpu.utils.profiling import benchmark
+
+    struct = drm.DifferentiableKUKAiiwa().struct
+    ee = struct.link_index("iiwa_link_ee")
+    rng = np.random.default_rng(0)
+    lo = np.asarray(struct.limit_lower, np.float32)
+    hi = np.asarray(struct.limit_upper, np.float32)
+
+    out_lines = [json.dumps({"backend": jax.default_backend(),
+                             "H": args.H, "iters": args.iters})]
+    print(out_lines[-1], flush=True)
+
+    def emit(d):
+        line = json.dumps(d)
+        print(line, flush=True)
+        out_lines.append(line)
+
+    # fleet regime
+    for B, Ksamp in ((64, 128), (256, 128), (1024, 64)):
+        q0 = jnp.asarray(rng.uniform(0.4 * lo, 0.4 * hi, (B, 7)), jnp.float32)
+        qd0 = jnp.zeros((B, 7), jnp.float32)
+        qg = jnp.asarray(rng.uniform(0.5 * lo, 0.5 * hi, (B, 7)), jnp.float32)
+        goals = jax.vmap(lambda q: K.fk_world(struct, q)[1][ee])(qg)
+        fn = jax.jit(lambda q, qd, g, k, Ks=Ksamp: solve_dynamic_mppi_batch(
+            struct, q, qd, g, ee, horizon=args.H, key=k, n_samples=Ks,
+            n_iters=args.iters,
+        ).actions)
+        key = jax.random.key(1)
+        res = benchmark(fn, q0, qd0, goals, key, iters=3, warmup=1, windows=3)
+        dt = res.best_s
+        emit({
+            "regime": "fleet", "B": B, "n_samples": Ksamp,
+            "solve_batch_ms": round(dt * 1e3, 2),
+            "solves_per_s": round(B / dt, 1),
+            "fd_rollouts_per_s": round(B * Ksamp * args.iters / dt, 1),
+        })
+
+    # replan-latency regime
+    q0 = jnp.asarray(rng.uniform(0.4 * lo, 0.4 * hi, (7,)), jnp.float32)
+    goal = K.fk_world(struct, q0)[1][ee] + jnp.asarray([0.05, 0.05, -0.05])
+    for Ksamp in (128, 256, 512):
+        fn = jax.jit(lambda q, g, k, Ks=Ksamp: solve_dynamic_mppi(
+            struct, q, jnp.zeros(7, jnp.float32), g, ee, horizon=args.H,
+            key=k, n_samples=Ks, n_iters=args.iters,
+        ).actions)
+        res = benchmark(fn, q0, goal, jax.random.key(2), iters=10, warmup=2,
+                        windows=3)
+        dt = res.best_s
+        emit({
+            "regime": "replan", "B": 1, "n_samples": Ksamp,
+            "replan_ms": round(dt * 1e3, 3),
+            "replan_hz": round(1.0 / dt, 1),
+        })
+
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write("\n".join(out_lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()
