@@ -65,6 +65,18 @@ def _fk_all(robot: RobotStruct, q: jnp.ndarray):
 
 
 @jax.jit
+def _fk_all_tree(robot: RobotStruct, q: jnp.ndarray):
+    """Tree-composition FK: pointer-doubling over the parent array (the
+    log-depth matmul form, ops/kinematics.fk_compose_doubling). Same
+    results as _fk_all's scalar sweep; kept as a genuinely distinct
+    implementation behind `recursive=True`, mirroring the reference's dual
+    FK surface (tree-recursive robot_model.py:198-221 vs flat :241-248)."""
+    R, p = jax.vmap(lambda qq: K.fk_world(robot, qq))(q)
+    quat = matrix_to_quaternion(R)
+    return p, quat
+
+
+@jax.jit
 def _kin_state(robot: RobotStruct, q: jnp.ndarray, qd: jnp.ndarray) -> KinematicState:
     def one(qq, qqd):
         R, p = K.fk_world_scalar(robot, qq)
@@ -213,13 +225,16 @@ class DifferentiableRobotModel:
         """Translation and rotation (quaternion, (x,y,z,w)) of one link.
 
         Counterpart of reference compute_forward_kinematics
-        (robot_model.py:224-248). `recursive` is accepted for API parity;
-        both paths are the same vectorized FK here.
+        (robot_model.py:224-248). Like the reference, `recursive` selects a
+        genuinely distinct implementation producing identical results: the
+        tree-composition (pointer-doubling matmul) FK vs the default scalar
+        topological sweep (cross-checked in tests/test_structs.py and both
+        oracle-tested).
         """
-        del recursive
         (q2,), bs = self._norm(q)
         idx = self._struct.link_index(link_name)
-        pos, quat = _fk_all(self._resolved(params), q2)
+        fk = _fk_all_tree if recursive else _fk_all
+        pos, quat = fk(self._resolved(params), q2)
         return self._denorm(pos[:, idx], bs), self._denorm(quat[:, idx], bs)
 
     def compute_forward_kinematics_all_links(

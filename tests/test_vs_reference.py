@@ -88,6 +88,7 @@ def pair(request):
     name, ours_ctor, ref_ctor, ee = request.param
     ours = ours_ctor()
     theirs = ref_ctor(device="cpu")
+    theirs._fresh_ctor = lambda: ref_ctor(device="cpu")
     D = ours.struct.n_dofs
     assert theirs._n_dofs == D, (name, theirs._n_dofs, D)
     rng = np.random.default_rng(zlib.crc32(name.encode()))
@@ -133,14 +134,55 @@ class TestVsReferenceImplementation:
             assert np.allclose(pos_o, pos_r, atol=2e-6), (name, ln)
             assert _aligned_quat_err(quat_o, quat_r) < 5e-6, (name, ln)
 
-    def test_forward_kinematics_single_link(self, pair):
+    @pytest.mark.parametrize("recursive", [False, True])
+    def test_forward_kinematics_single_link(self, pair, recursive):
+        """Both FK implementations on both sides (the reference's flat and
+        tree-recursive paths vs our scalar-sweep and pointer-doubling
+        paths) agree pairwise.
+
+        The reference's recursive path must run on a FRESH instance: it
+        composes against each body's stored `self.pose`
+        (rigid_body.py:119), which any earlier flat-FK/update call has
+        mutated to stale world poses — an upstream statefulness bug our
+        stateless design cannot have (pinned in
+        test_reference_recursive_fk_stale_state_bug below)."""
         name, ours, theirs, ee, q, qd, qdd = pair
-        pos_r, quat_r = theirs.compute_forward_kinematics(_t(q), ee)
-        pos_o, quat_o = ours.compute_forward_kinematics(jnp.asarray(q), ee)
+        if recursive:
+            theirs = theirs._fresh_ctor()
+        pos_r, quat_r = theirs.compute_forward_kinematics(
+            _t(q), ee, recursive=recursive
+        )
+        pos_o, quat_o = ours.compute_forward_kinematics(
+            jnp.asarray(q), ee, recursive=recursive
+        )
         assert np.allclose(np.asarray(pos_o), pos_r.detach().numpy(),
                            atol=2e-6)
         assert _aligned_quat_err(np.asarray(quat_o),
                                  quat_r.detach().numpy()) < 5e-6
+
+    def test_reference_recursive_fk_stale_state_bug(self, pair):
+        """Pins the upstream statefulness bug the fresh-instance workaround
+        above dodges: after ANY flat FK at a different configuration, the
+        reference's recursive FK returns stale-composed poses
+        (rigid_body.py:119 seeds the recursion with the mutated
+        `self.pose`), while our stateless recursive path is unaffected."""
+        name, ours, theirs, ee, q, qd, qdd = pair
+        fresh = theirs._fresh_ctor()
+        clean = fresh.compute_forward_kinematics(_t(q), ee, recursive=True)[0]
+        # poison the stored poses with a different configuration
+        fresh.compute_forward_kinematics(_t(q + 0.3), ee, recursive=False)
+        stale = fresh.compute_forward_kinematics(_t(q), ee, recursive=True)[0]
+        assert not np.allclose(
+            stale.detach().numpy(), clean.detach().numpy(), atol=1e-4
+        ), "upstream fixed their stale-pose bug — drop the fresh-instance workaround"
+        # ours: same call pattern, no state to go stale
+        ours.compute_forward_kinematics(jnp.asarray(q + 0.3), ee)
+        pos_o, _ = ours.compute_forward_kinematics(
+            jnp.asarray(q), ee, recursive=True
+        )
+        assert np.allclose(
+            np.asarray(pos_o), clean.detach().numpy(), atol=2e-6
+        )
 
     def test_endeffector_jacobian(self, pair):
         name, ours, theirs, ee, q, qd, qdd = pair
