@@ -66,3 +66,15 @@ def test_l4dc_experiment_smoke():
     assert set(out) >= {"mlp", "structured_unconstrained", "structured_constrained"}
     for k, v in out.items():
         assert np.isfinite(np.asarray(v)).all(), k
+
+
+def test_torque_mpc_example():
+    """The closed-loop torque-space MPC example converges toward the goal
+    with both solvers (gradient and sampling)."""
+    from examples import run_torque_mpc as ex
+
+    d_adam = ex.run(n_steps=8, solver="adam", horizon=10)
+    assert d_adam[-1] < d_adam[0]
+    d_mppi = ex.run(n_steps=8, solver="mppi", horizon=10)
+    assert d_mppi[-1] < d_mppi[0]
+    assert np.all(np.isfinite(d_adam)) and np.all(np.isfinite(d_mppi))
