@@ -195,3 +195,52 @@ class TestLearnableOverlay:
             model.make_link_param_learnable("iiwa_link_3", "bogus", PositiveScalar())
         with pytest.raises(KeyError):
             model.make_link_param_learnable("no_link", "mass", PositiveScalar())
+
+
+class TestIdentificationThroughDynamicSolve:
+    def test_identification_through_torque_mpc_solve(self):
+        """Gradients flow through the TORQUE-SPACE MPC solve — the Adam
+        scan, the semi-implicit forward-dynamics rollout (scalar RNEA +
+        CRB mass matrix + unrolled LDL^T, implicit damping), the
+        mass-matrix preconditioner and the FK goal cost — to a physical
+        parameter (link-4 mass), matching finite differences in float64.
+        The dynamics-level completion of
+        test_identification_through_mpc_solve."""
+        from differentiable_robot_model_tpu.models.parametrizations import (
+            PositiveScalar,
+        )
+        from differentiable_robot_model_tpu.trajopt.solvers import (
+            solve_dynamic_adam,
+        )
+
+        model = DifferentiableKUKAiiwa(dtype=jnp.float64)
+        struct0 = model.struct
+        ee = struct0.link_index("iiwa_link_ee")
+        l4 = struct0.link_index("iiwa_link_4")
+        true_mass = float(struct0.mass[l4])
+        model.make_link_param_learnable(
+            "iiwa_link_4", "mass", PositiveScalar(init_param=true_mass)
+        )
+        params = model.parameters()
+        q0 = jnp.asarray(np.linspace(-0.3, 0.3, 7), jnp.float64)
+        qd0 = jnp.zeros(7, jnp.float64)
+        goal = jnp.asarray([0.3, 0.1, 0.9], jnp.float64)
+
+        def solve_cost(p):
+            struct = model._learnables.apply(p)
+            return solve_dynamic_adam(
+                struct, q0, qd0, goal, ee, horizon=4, n_iters=3, lr=0.3,
+                eps=1e-1,
+            ).cost
+
+        key = "iiwa_link_4.mass"
+        base = jnp.asarray(params[key], jnp.float64)
+        g = float(jax.jit(jax.grad(solve_cost))(params)[key])
+        assert np.isfinite(g) and g != 0.0
+        cost_j = jax.jit(solve_cost)
+        eps_fd = 1e-6
+        fd = (
+            float(cost_j({key: base + eps_fd}))
+            - float(cost_j({key: base - eps_fd}))
+        ) / (2 * eps_fd)
+        assert np.isclose(fd, g, rtol=1e-4, atol=1e-8), (fd, g)
