@@ -243,6 +243,28 @@ class TestVsReferenceImplementation:
         assert np.abs(qdd_o - qdd_r).max() < 1e-3 * scale, (
             name, method, np.abs(qdd_o - qdd_r).max(), scale)
 
+    def test_forward_dynamics_old_ours_works_reference_crashes(self, pair):
+        """The Euler-Lagrange FD path (`compute_forward_dynamics_old`):
+        ours solves H qdd = f - nle and agrees with ABA; the reference's is
+        dead on any torch >= 1.13 (robot_model.py:483 calls the removed
+        `torch.solve`) — a third upstream defect only our reimplementation
+        keeps usable."""
+        name, ours, theirs, ee, q, qd, qdd = pair
+        f = 0.3 * qdd
+        qdd_old = np.asarray(ours.compute_forward_dynamics_old(
+            jnp.asarray(q), jnp.asarray(qd), jnp.asarray(f),
+        ))
+        # note: the reference's _old defaults use_damping=True (unlike its
+        # ABA path); ours mirrors that default
+        qdd_aba = np.asarray(ours.compute_forward_dynamics(
+            jnp.asarray(q), jnp.asarray(qd), jnp.asarray(f),
+            use_damping=True, method="aba",
+        ))
+        scale = max(1.0, np.abs(qdd_aba).max())
+        assert np.abs(qdd_old - qdd_aba).max() < 1e-3 * scale, name
+        with pytest.raises(RuntimeError, match="torch.solve"):
+            theirs.compute_forward_dynamics_old(_t(q), _t(qd), _t(f))
+
     def test_id_fd_roundtrip_cross(self, pair):
         """OUR forward dynamics inverts THEIR inverse dynamics: feed the
         reference's RNEA torques into our ABA and recover qdd."""
