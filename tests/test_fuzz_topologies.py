@@ -166,3 +166,53 @@ class TestFuzzTrees:
             fd = (float(f(jnp.asarray(q[0] + e))) -
                   float(f(jnp.asarray(q[0] - e)))) / (2 * eps)
             assert np.isclose(fd, g[j], rtol=1e-5, atol=1e-7), (j, fd, g[j])
+
+
+def test_fleet_of_random_trees_matches_single(tmp_path):
+    """The padded heterogeneous-fleet path generalizes to random trees:
+    a 3-member fleet of generated robots (different link/dof counts,
+    arbitrary axes) matches each member's single-robot FK/ID in float64."""
+    from differentiable_robot_model_tpu.models.fleet import (
+        build_fleet,
+        ee_position_fleet,
+        rnea_fleet,
+    )
+    from differentiable_robot_model_tpu.ops import kinematics as K
+
+    models = []
+    rng_master = np.random.default_rng(77)
+    i = 0
+    while len(models) < 3:
+        rng = np.random.default_rng(2000 + i)
+        i += 1
+        path = tmp_path / f"f{i}.urdf"
+        path.write_text(_random_urdf(rng))
+        m = DifferentiableRobotModel(str(path), dtype=jnp.float64)
+        if m.struct.n_dofs >= 2:
+            models.append(m)
+    structs = [m.struct for m in models]
+    ees = [s.link_names[-1] for s in structs]
+    fleet = build_fleet(structs, ees, dtype=jnp.float64)
+    Dmax = fleet.damping.shape[-1]
+
+    q = np.zeros((3, Dmax))
+    qd = np.zeros((3, Dmax))
+    qdd = np.zeros((3, Dmax))
+    for r, s in enumerate(structs):
+        D = s.n_dofs
+        q[r, :D] = rng_master.uniform(-1.0, 1.0, D)
+        qd[r, :D] = rng_master.uniform(-0.5, 0.5, D)
+        qdd[r, :D] = rng_master.uniform(-1.0, 1.0, D)
+
+    p_f = jax.vmap(ee_position_fleet)(fleet, jnp.asarray(q))
+    tau_f = jax.vmap(rnea_fleet)(
+        fleet, jnp.asarray(q), jnp.asarray(qd), jnp.asarray(qdd)
+    )
+    for r, s in enumerate(structs):
+        D = s.n_dofs
+        ee = s.link_index(ees[r])
+        p_s = K.fk_world(s, jnp.asarray(q[r, :D]))[1][ee]
+        assert np.allclose(np.asarray(p_f[r]), np.asarray(p_s), atol=1e-9), r
+        tau_s = oracle.rnea(s, q[r, :D], qd[r, :D], qdd[r, :D])
+        assert np.allclose(np.asarray(tau_f[r, :D]), tau_s, atol=1e-8), r
+        assert np.allclose(np.asarray(tau_f[r, D:]), 0.0), r
