@@ -149,3 +149,45 @@ def test_bare_dataclasses_replace_still_possible_but_with_arrays_preferred(
     new_axis = jnp.asarray(np.asarray(s.axis)[:, ::-1].copy())
     s2 = dataclasses.replace(s, axis=new_axis)
     assert s2.axis_code == s.axis_code  # stale by design; use with_arrays
+
+
+class TestKinematicStateVelocities:
+    def test_body_velocities_match_finite_difference(self):
+        """update_kinematic_state's spatial velocities are physically
+        correct: for every link, V = [omega, v_at_world_origin] satisfies
+        d p_l/dt = v + omega x p_l and Rdot R^T = skew(omega) along the
+        trajectory q(t) = q + t qd (float64 central differences). Directly
+        validates the velocity half of the kinematic state (the reference
+        computes it link-locally, robot_model.py:188-193; here it is one
+        ancestor-masked matmul, ops/kinematics.py:body_velocities)."""
+        import jax.numpy as jnp
+
+        from differentiable_robot_model_tpu import DifferentiableTrifingerEdu
+
+        model = DifferentiableTrifingerEdu(dtype=jnp.float64)
+        struct = model.struct
+        rng = np.random.default_rng(4)
+        D = struct.n_dofs
+        q = rng.uniform(-0.6, 0.6, D)
+        qd = rng.uniform(-1.0, 1.0, D)
+
+        ks = model.update_kinematic_state(q, qd)
+        V = np.asarray(ks.vel) if hasattr(ks, "vel") else np.asarray(ks[3])
+        p = np.asarray(ks[1])
+        R = np.asarray(ks[0])
+
+        eps = 1e-6
+        fkp, fkm = (
+            model.compute_forward_kinematics_all_links(q + s * eps * qd)
+            for s in (+1.0, -1.0)
+        )
+        Rp = model.update_kinematic_state(q + eps * qd, qd)
+        Rm = model.update_kinematic_state(q - eps * qd, qd)
+        for i, ln in enumerate(struct.link_names):
+            pdot = (np.asarray(fkp[ln][0]) - np.asarray(fkm[ln][0])) / (2 * eps)
+            omega, v = V[i, :3], V[i, 3:]
+            assert np.allclose(pdot, v + np.cross(omega, p[i]), atol=1e-7), ln
+            Rdot = (np.asarray(Rp[0])[i] - np.asarray(Rm[0])[i]) / (2 * eps)
+            W = Rdot @ R[i].T
+            omega_fd = np.array([W[2, 1], W[0, 2], W[1, 0]])
+            assert np.allclose(omega, omega_fd, atol=1e-7), ln
