@@ -529,11 +529,7 @@ def solve_dynamic_mppi(
         rnea_scalar,
     )
     from ..ops.kinematics import fk_link_position_dof_first
-    from .rollout import (
-        _effort_bound,
-        _velocity_bound,
-        fd_step_implicit_damping,
-    )
+    from .rollout import _effort_bound, dynamic_rollout_dof_major
 
     D_ = q0.shape[-1]
     H = horizon
@@ -544,7 +540,6 @@ def solve_dynamic_mppi(
     tau_ref = rnea_scalar(robot, q0, zeros, zeros)  # [D] gravity comp
     H0 = mass_matrix_scalar(robot, q0) if precondition else None  # [D, D]
     emax = _effort_bound(robot, 1) if respect_effort_limits else None
-    vmax = _velocity_bound(robot, 1)
 
     def to_torque_deltas(aK):  # [H, D, K] accel units -> [H, D, K] torques
         if H0 is None:
@@ -554,32 +549,28 @@ def solve_dynamic_mppi(
         )
 
     if init_actions is not None:
-        dtau0 = init_actions - tau_ref  # [H, D]
+        dtau0 = jnp.asarray(init_actions, dtype) - tau_ref  # [H, D]
         a0 = (
             ldl_solve_scalar(H0, dtau0.T).T if H0 is not None else dtau0
         )
     else:
         a0 = jnp.zeros((H, D_), dtype) + 0.0 * q0
 
-    q0K = jnp.broadcast_to(q0[:, None], (D_, K))
-    qd0K = jnp.broadcast_to(qd0[:, None], (D_, K))
-
-    def rollout_costs(tauK):  # [H, D, K] -> [K]
-        def step(carry, tau_t):
-            q, qd = carry
-            qdd = fd_step_implicit_damping(
-                robot, q, qd, tau_t, dt, use_damping=use_damping
-            )
-            qd_next = jnp.clip(qd + dt * qdd, -vmax, vmax)
-            q_next = q + dt * qd_next
-            return (q_next, qd_next), q_next
-
-        _, qs = jax.lax.scan(step, (q0K, qd0K), tauK)  # [H, D, K]
+    def rollout_costs(tauK):  # [H, D, k] -> [k]
+        # sample width follows tauK (K for the sampling sweep, 1 for the
+        # final nominal-cost evaluation) so the nominal pass doesn't pay a
+        # K-wide rollout
+        k = tauK.shape[-1]
+        q0K = jnp.broadcast_to(q0[:, None], (D_, k))
+        qd0K = jnp.broadcast_to(qd0[:, None], (D_, k))
+        qs, _ = dynamic_rollout_dof_major(
+            robot, q0K, qd0K, tauK, dt, use_damping=use_damping
+        )  # [H, D, k] — the SAME integrator the Adam solver's plant uses
         p = fk_link_position_dof_first(
-            robot, qs.transpose(1, 0, 2).reshape(D_, H * K), ee_link_idx
-        ).reshape(3, H, K)
+            robot, qs.transpose(1, 0, 2).reshape(D_, H * k), ee_link_idx
+        ).reshape(3, H, k)
         err = goal_weight * (p - goal_ee_pos[:, None, None])
-        return jnp.mean(err * err, axis=(0, 1))  # [K]
+        return jnp.mean(err * err, axis=(0, 1))  # [k]
 
     def sample_costs(aK):  # [H, D, K] -> [K]
         dtau = to_torque_deltas(aK)
@@ -604,8 +595,8 @@ def solve_dynamic_mppi(
     a, best_costs = jax.lax.scan(
         iteration, a0, jax.random.split(key, n_iters)
     )
-    # final nominal cost, via the same sampled-cost graph at K=1 slice width
-    # (scan-wrapped like the Adam solvers to keep XLA:TPU compile fast)
+    # final nominal cost at sample width 1 (rollout_costs sizes itself to
+    # tauK; scan-wrapped like the Adam solvers to keep XLA:TPU compile fast)
     _, final_cost = jax.lax.scan(
         lambda c, _: (c, sample_costs(c[:, :, None])[0]), a, None, length=1
     )
@@ -816,11 +807,13 @@ def ilqr(
     feasible, the line search only ever accepts feasible improvements,
     and clamp subgradients keep saturated controls from attracting
     further pressure. The backward pass stays unconstrained, so gains
-    NEAR the bounds are approximate — the line search compensates. Use
-    the robot's URDF effort limits via
-    `control_bounds=(-robot.limit_effort, robot.limit_effort)` for
-    torque-space plants (cf. `solve_dynamic_adam`'s
-    `respect_effort_limits`).
+    NEAR the bounds are approximate — the line search compensates. For a
+    torque-space plant, build the box from the URDF effort limits with the
+    repo's <=0-means-unbounded convention first:
+    `e = jnp.where(robot.limit_effort > 0, robot.limit_effort, jnp.inf);
+    control_bounds=(-e, e)` — passing `limit_effort` raw would pin any
+    effort="0" joint to zero torque (cf. `rollout.clip_to_effort`,
+    `solve_dynamic_adam`'s `respect_effort_limits`).
     """
     H, m = us_init.shape
     n = x0.shape[0]

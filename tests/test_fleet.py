@@ -331,3 +331,58 @@ class TestFleetDynamicMPC:
             Dn = s.n_dofs
             assert np.allclose(acts[r, :, Dn:], 0.0)
             assert np.all(np.abs(acts[r, :, :Dn]) <= emax[r, :Dn] + 1e-9)
+
+    def test_dynamic_solve_scenario_batched_and_warm_start(self, fleet_setup):
+        """The [R, B, Dmax] scenario-batched branch equals per-scenario
+        solves of the [R, Dmax] form, and warm-starting from a previous
+        solve's absolute torques round-trips (first-iteration cost equals
+        the previous final cost)."""
+        from differentiable_robot_model_tpu.models.fleet import (
+            solve_fleet_dynamic_adam,
+        )
+
+        models, structs, ees, fleet = fleet_setup
+        R = len(structs)
+        Dmax = fleet.damping.shape[-1]
+        B = 2
+        rng = np.random.default_rng(31)
+        q0 = np.zeros((R, B, Dmax))
+        for r, s in enumerate(structs):
+            q0[r, :, : s.n_dofs] = rng.uniform(-0.3, 0.3, (B, s.n_dofs))
+        qd0 = np.zeros((R, B, Dmax))
+        goals = rng.uniform(0.2, 0.4, (R, B, 3))
+
+        kw = dict(horizon=5, dt=0.02, n_iters=4, lr=0.5, eps=1e-1)
+        res_b = solve_fleet_dynamic_adam(
+            fleet, jnp.asarray(q0), jnp.asarray(qd0), jnp.asarray(goals), **kw
+        )
+        assert res_b.actions.shape == (R, B, 5, Dmax)
+        for b in range(B):
+            res_s = solve_fleet_dynamic_adam(
+                fleet,
+                jnp.asarray(q0[:, b]),
+                jnp.asarray(qd0[:, b]),
+                jnp.asarray(goals[:, b]),
+                **kw,
+            )
+            assert np.allclose(
+                np.asarray(res_b.actions[:, b]), np.asarray(res_s.actions),
+                atol=1e-9,
+            ), b
+            assert np.allclose(
+                np.asarray(res_b.cost[:, b]), np.asarray(res_s.cost),
+                rtol=1e-9,
+            ), b
+
+        # warm start: resume from the batched solve's returned torques
+        res_w = solve_fleet_dynamic_adam(
+            fleet, jnp.asarray(q0), jnp.asarray(qd0), jnp.asarray(goals),
+            init_actions=res_b.actions, **kw,
+        )
+        assert np.allclose(
+            np.asarray(res_w.cost_history[..., 0]), np.asarray(res_b.cost),
+            rtol=1e-6,
+        )
+        assert np.all(
+            np.asarray(res_w.cost) <= np.asarray(res_b.cost) * (1 + 1e-6)
+        )

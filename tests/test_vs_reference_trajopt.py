@@ -35,9 +35,11 @@ torch = pytest.importorskip("torch")
 if not os.path.isdir(os.path.join(REF_ROOT, "differentiable_robot_model")):
     pytest.skip("reference checkout not available", allow_module_level=True)
 
+# APPEND (not prepend): the reference checkout has top-level `examples`/
+# `experiments` packages that must not shadow this repo's.
 for p in (os.path.join(_HERE, "refstub"), REF_ROOT):
     if p not in sys.path:
-        sys.path.insert(0, p)
+        sys.path.append(p)
 
 ref = pytest.importorskip("differentiable_robot_model.robot_model")
 
