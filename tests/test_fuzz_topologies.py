@@ -216,3 +216,36 @@ def test_fleet_of_random_trees_matches_single(tmp_path):
         tau_s = oracle.rnea(s, q[r, :D], qd[r, :D], qdd[r, :D])
         assert np.allclose(np.asarray(tau_f[r, :D]), tau_s, atol=1e-8), r
         assert np.allclose(np.asarray(tau_f[r, D:]), 0.0), r
+
+
+def test_dynamic_rollout_bounded_on_random_trees(tmp_path):
+    """The velocity-clamped semi-implicit rollout stays finite on random
+    trees under aggressive random torques (the boundedness property the
+    dynamic solvers rely on, trajopt/rollout.py:_velocity_bound) — and the
+    velocity bound actually binds."""
+    from differentiable_robot_model_tpu.trajopt.rollout import (
+        dynamic_rollout_dof_major,
+    )
+
+    hit_any = False
+    for seed in (3000, 3001, 3002):
+        rng = np.random.default_rng(seed)
+        path = tmp_path / f"s{seed}.urdf"
+        path.write_text(_random_urdf(rng))
+        model = DifferentiableRobotModel(str(path), dtype=jnp.float64)
+        struct = model.struct
+        D = struct.n_dofs
+        if D == 0:
+            continue
+        B = 4
+        q0T = jnp.asarray(rng.uniform(-0.5, 0.5, (D, B)))
+        qd0T = jnp.zeros((D, B))
+        taus = jnp.asarray(rng.normal(0, 40.0, (60, D, B)))  # violent
+        qs, qds = dynamic_rollout_dof_major(struct, q0T, qd0T, taus, dt=0.02)
+        assert np.all(np.isfinite(np.asarray(qs))), seed
+        assert np.all(np.isfinite(np.asarray(qds))), seed
+        vmax = np.asarray(struct.limit_velocity)
+        vmax = np.where(vmax > 0, vmax, np.inf)[:, None]
+        assert np.all(np.abs(np.asarray(qds)) <= vmax + 1e-9), seed
+        hit_any |= bool(np.any(np.abs(np.asarray(qds)) > 0.999 * vmax))
+    assert hit_any  # the clamp genuinely engaged somewhere
