@@ -35,6 +35,7 @@ from .models.robot import (
     DifferentiableFetchArm,
     DifferentiableKinovaJaco,
     DifferentiableKinovaJacoFull,
+    DifferentiableKukaIiwaAllegro,
     DifferentiablePandaWithGripper,
     DifferentiableFetchFull,
     robot_description_folder,
@@ -54,6 +55,7 @@ __all__ = [
     "DifferentiableFetchArm",
     "DifferentiableKinovaJaco",
     "DifferentiableKinovaJacoFull",
+    "DifferentiableKukaIiwaAllegro",
     "DifferentiablePandaWithGripper",
     "DifferentiableFetchFull",
     "RobotStruct",

@@ -528,6 +528,22 @@ class DifferentiableFetchFull(DifferentiableRobotModel):
         super().__init__(_bundled("fetch_full.urdf"), "differentiable_fetch_full", dtype)
 
 
+class DifferentiableKukaIiwaAllegro(DifferentiableRobotModel):
+    """KUKA iiwa7 arm with the Allegro hand mounted (23 dof: 7 arm +
+    16 fingers over 4 branches — the deepest bundled tree, 28 joints).
+
+    The reference ships this URDF (diff_robot_data/kuka_iiwa/urdf/
+    iiwa7_allegro.urdf) but never exercises it.
+    """
+
+    def __init__(self, dtype=jnp.float32):
+        super().__init__(
+            _bundled("kuka_iiwa7_allegro.urdf"),
+            "differentiable_kuka_iiwa_allegro",
+            dtype,
+        )
+
+
 class DifferentiableKinovaJacoFull(DifferentiableRobotModel):
     """Full j2n6s300: 6-dof arm plus the 3-finger hand (12 dof, branched).
 

@@ -205,7 +205,32 @@ def make_dynamic_mpc_step(
     velocity clamp), so closed-loop state tracks the plan exactly under
     zero disturbance. Pure and vmappable over scenario batches; no
     reference analog (torque-level closed-loop control).
+
+    Compiles the dof-major batched program at B=1 rather than the
+    per-sample `solve_dynamic_adam` graph: the two are the same math
+    (tested equal in tests/test_mpc_and_utils.py), but the dof-major
+    [D, ..., B] layout emits one fused lax.scan program that measures
+    ~4x faster per replan on the chip at B=1 (88 ms -> ~20 ms at
+    H=20/3 iters; the per-sample graph's per-link scalar graph is
+    larger and schedules worse).
     """
+    stepB = make_dynamic_mpc_step_batch(robot, ee_link_idx, config)
+
+    def step(state: DynamicMPCState, goal: jnp.ndarray):
+        states = jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], state)
+        new_states, metricsB = stepB(states, goal[None])
+        new_state = jax.tree_util.tree_map(lambda x: x[0], new_states)
+        metrics = jax.tree_util.tree_map(lambda x: x[0], metricsB)
+        return new_state, metrics
+
+    return step
+
+
+def _make_dynamic_mpc_step_per_sample(
+    robot: RobotStruct, ee_link_idx: int, config: DynamicMPCConfig
+):
+    """Per-sample dynamic MPC step graph (the vmappable reference form of
+    `make_dynamic_mpc_step`; kept for the batch-vs-single equality tests)."""
     from ..ops import kinematics as K
     from .rollout import _velocity_bound, fd_step_implicit_damping
     from .solvers import solve_dynamic_adam

@@ -27,6 +27,7 @@ from differentiable_robot_model_tpu import (
     DifferentiableKinovaJaco,
     DifferentiableKinovaJacoFull,
     DifferentiableKUKAiiwa,
+    DifferentiableKukaIiwaAllegro,
     DifferentiableFetchFull,
     DifferentiablePandaWithGripper,
     DifferentiableTrifingerEdu,
@@ -69,6 +70,14 @@ ROBOTS = [
         "panda_gripper",
         DifferentiablePandaWithGripper,
         ["panda_virtual_ee_link", "panda_leftfinger", "panda_rightfinger"],
+    ),
+    # Beyond the reference's grid: the iiwa7+allegro combo (23 dof: 7-dof
+    # arm + 16-dof hand over 4 branches — the deepest bundled tree; the
+    # reference ships the URDF but never exercises it).
+    (
+        "iiwa_allegro",
+        DifferentiableKukaIiwaAllegro,
+        ["link_3.0_tip", "link_7.0_tip", "link_11.0_tip", "link_15.0_tip"],
     ),
     # Beyond the reference's grid: the full Fetch (torso lift prismatic +
     # head pan/tilt + arm + prismatic gripper fingers; 14 dof over 3

@@ -107,11 +107,13 @@ class TestMPC:
 
     def test_dynamic_mpc_batch_matches_vmapped(self, iiwa_struct):
         """make_dynamic_mpc_step_batch == vmap of the per-sample dynamic
-        step (same algorithm, same backend)."""
+        step (same algorithm, different program: the per-sample graph is
+        the vmappable reference form that make_dynamic_mpc_step used to
+        compile before it delegated to the dof-major batch program)."""
         from differentiable_robot_model_tpu.trajopt.mpc import (
             DynamicMPCConfig,
+            _make_dynamic_mpc_step_per_sample as make_dynamic_mpc_step,
             dynamic_mpc_init,
-            make_dynamic_mpc_step,
             make_dynamic_mpc_step_batch,
         )
 
@@ -137,6 +139,36 @@ class TestMPC:
         assert np.allclose(np.asarray(sb.qd), np.asarray(sv.qd), atol=1e-4)
         assert np.allclose(np.asarray(sb.plan), np.asarray(sv.plan), atol=2e-3)
         assert np.allclose(np.asarray(mb.cost), np.asarray(mv.cost), rtol=1e-4)
+
+    def test_dynamic_mpc_step_matches_per_sample_graph(self, iiwa_struct):
+        """The public make_dynamic_mpc_step (which compiles the dof-major
+        batch program at B=1) returns the same state/metrics, with
+        unbatched shapes, as the per-sample reference graph."""
+        from differentiable_robot_model_tpu.trajopt.mpc import (
+            DynamicMPCConfig,
+            _make_dynamic_mpc_step_per_sample,
+            dynamic_mpc_init,
+            make_dynamic_mpc_step,
+        )
+
+        struct = iiwa_struct
+        ee = struct.link_index("iiwa_link_ee")
+        config = DynamicMPCConfig(horizon=5, iters_per_step=3)
+        q0 = jnp.asarray([0.2, -0.1, 0.3, -0.4, 0.1, 0.2, -0.2], jnp.float32)
+        goal = jnp.asarray([0.4, 0.1, 0.7], jnp.float32)
+        state0 = dynamic_mpc_init(struct, q0, jnp.zeros(7, jnp.float32), config)
+
+        s1, m1 = jax.jit(make_dynamic_mpc_step(struct, ee, config))(state0, goal)
+        s2, m2 = jax.jit(_make_dynamic_mpc_step_per_sample(struct, ee, config))(
+            state0, goal
+        )
+        assert s1.q.shape == s2.q.shape == (7,)
+        assert m1.cost.shape == m2.cost.shape == ()
+        assert np.allclose(np.asarray(s1.q), np.asarray(s2.q), atol=1e-4)
+        assert np.allclose(np.asarray(s1.qd), np.asarray(s2.qd), atol=1e-4)
+        assert np.allclose(np.asarray(s1.plan), np.asarray(s2.plan), atol=2e-3)
+        assert np.allclose(np.asarray(m1.cost), np.asarray(m2.cost), rtol=1e-4)
+        assert int(s1.step_count) == int(s2.step_count) == 1
 
     def test_dynamic_mpc_respects_effort_limits(self, iiwa_struct):
         """respect_effort_limits=True keeps the replanned torque plan inside
