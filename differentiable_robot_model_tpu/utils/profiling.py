@@ -53,9 +53,10 @@ def benchmark(
     recorded-number methodology — bench.py, benchmarks/). `.mean` stays the
     mean over all windows.
     """
-    for _ in range(warmup):
-        out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+    if warmup:
+        for _ in range(warmup):
+            out = fn(*args, **kwargs)
+        jax.block_until_ready(out)
     if pipelined:
         per_window = []
         for _ in range(max(1, windows)):

@@ -249,6 +249,17 @@ class TestProfiling:
                         windows=3)
         assert res.mean_s > 0 and res.best_s <= res.mean_s
 
+    def test_benchmark_zero_warmup(self, iiwa_struct):
+        """warmup=0 is bench.py's calling convention (it pre-warms by calling
+        the solver itself); regression for the UnboundLocalError that crashed
+        the flagship bench when no warmup iteration assigned `out`."""
+        fn = jax.jit(lambda q: K.fk_world(iiwa_struct, q)[1])
+        jax.block_until_ready(fn(jnp.zeros(7, jnp.float32)))
+        for pipelined in (True, False):
+            res = benchmark(fn, jnp.zeros(7, jnp.float32), iters=2, warmup=0,
+                            windows=2, pipelined=pipelined)
+            assert res.mean_s > 0 and res.best_s <= res.mean_s
+
 
 class TestTensorUtils:
     def test_bfill(self):
