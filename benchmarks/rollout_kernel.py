@@ -1,0 +1,134 @@
+"""Fused Pallas dynamic-rollout kernel vs the lax.scan path.
+
+Measures forward and forward+VJP wall time for the H-step semi-implicit-Euler
+forward-dynamics rollout (the dynamic-MPC inner loop) at a grid of batch
+sizes, on the current backend. Emits one JSON object with per-row ms,
+rollouts/s, speedup, and max abs error of the kernel vs the scan path.
+
+All scan-path graphs are wrapped in a length-1 lax.scan: XLA:TPU compiles the
+big rollout graph an order of magnitude faster as a scan body than inlined at
+top level (measured in trajopt/solvers.py — 44 s vs ~586 s at B=1024).
+
+Usage: python benchmarks/rollout_kernel.py [--out FILE]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+H = 50
+DT = 0.02
+BATCHES = (1, 1024, 4096, 65536)
+
+
+def main(out_path=None):
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/drm_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    import differentiable_robot_model_tpu as drm
+    from differentiable_robot_model_tpu.ops.pallas.rollout import (
+        dynamic_rollout_pallas,
+    )
+    from differentiable_robot_model_tpu.trajopt.rollout import (
+        dynamic_rollout_dof_major,
+    )
+    from differentiable_robot_model_tpu.utils.profiling import benchmark
+
+    s = drm.DifferentiableKUKAiiwa().struct
+    D = s.n_dofs
+    rng = np.random.default_rng(0)
+
+    def scan1(f):
+        # length-1 scan wrapper (compile-time trick, see module docstring)
+        return lambda *args: jax.lax.scan(
+            lambda _, x: (None, f(*x)), None, tuple(a[None] for a in args)
+        )[1][0]
+
+    k_fwd = jax.jit(lambda a, b, t: dynamic_rollout_pallas(s, a, b, t, DT)[0])
+    r_fwd = jax.jit(
+        scan1(lambda a, b, t: dynamic_rollout_dof_major(s, a, b, t, DT)[0])
+    )
+    k_vjp = jax.jit(
+        jax.grad(
+            lambda t, a, b: jnp.sum(
+                jnp.sin(dynamic_rollout_pallas(s, a, b, t, DT)[0])
+            )
+        )
+    )
+    r_vjp = jax.jit(
+        scan1(
+            jax.grad(
+                lambda t, a, b: jnp.sum(
+                    jnp.sin(dynamic_rollout_dof_major(s, a, b, t, DT)[0])
+                )
+            )
+        )
+    )
+
+    rows = []
+    for B in BATCHES:
+        q0 = jnp.asarray(rng.uniform(-0.5, 0.5, (D, B)), jnp.float32)
+        qd0 = jnp.asarray(rng.uniform(-0.2, 0.2, (D, B)), jnp.float32)
+        tau = jnp.asarray(rng.uniform(-3, 3, (H, D, B)), jnp.float32)
+        reps = max(3, min(30, (1 << 22) // max(B, 1)))
+
+        t0 = time.time()
+        ok = k_fwd(q0, qd0, tau)
+        jax.block_until_ready(ok)
+        k_compile_s = time.time() - t0
+        orr = r_fwd(q0, qd0, tau)
+        jax.block_until_ready(orr)
+        err = float(jnp.max(jnp.abs(ok - orr)))
+
+        tk = benchmark(k_fwd, q0, qd0, tau, iters=reps, warmup=1, windows=3).best_s
+        tr = benchmark(r_fwd, q0, qd0, tau, iters=reps, warmup=1, windows=3).best_s
+        rows.append(
+            {
+                "op": "rollout_fwd", "B": B, "H": H,
+                "kernel_ms": round(tk * 1e3, 3), "scan_ms": round(tr * 1e3, 3),
+                "speedup": round(tr / tk, 2),
+                "kernel_rollouts_per_s": round(B / tk, 1),
+                "max_abs_err": err,
+                "kernel_compile_s": round(k_compile_s, 1),
+            }
+        )
+        print(json.dumps(rows[-1]), flush=True)
+
+        gk = k_vjp(tau, q0, qd0)
+        jax.block_until_ready(gk)
+        gr = r_vjp(tau, q0, qd0)
+        jax.block_until_ready(gr)
+        gerr = float(jnp.max(jnp.abs(gk - gr)))
+        tk = benchmark(k_vjp, tau, q0, qd0, iters=reps, warmup=1, windows=3).best_s
+        tr = benchmark(r_vjp, tau, q0, qd0, iters=reps, warmup=1, windows=3).best_s
+        rows.append(
+            {
+                "op": "rollout_fwd+vjp", "B": B, "H": H,
+                "kernel_ms": round(tk * 1e3, 3), "scan_ms": round(tr * 1e3, 3),
+                "speedup": round(tr / tk, 2),
+                "kernel_rollouts_per_s": round(B / tk, 1),
+                "max_abs_grad_err": gerr,
+            }
+        )
+        print(json.dumps(rows[-1]), flush=True)
+
+    out = {"backend": jax.default_backend(), "robot": "iiwa7", "rows": rows}
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+    return out
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    main(ap.parse_args().out)

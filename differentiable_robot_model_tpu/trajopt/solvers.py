@@ -343,6 +343,7 @@ def solve_dynamic_adam_batch(
     rollout_unroll: int = 1,
     respect_effort_limits: bool = False,
     rollout_remat: bool = False,
+    rollout_impl: str = "scan",
 ) -> BatchTrajOptResult:
     """Dof-major batched torque-space MPC solve (the dynamics flagship).
 
@@ -360,6 +361,14 @@ def solve_dynamic_adam_batch(
     Returns actions as the full applied torques [B, H, D] (gravity-comp
     reference + optimized deltas; clamped to the URDF effort limits when
     `respect_effort_limits=True`), matching `solve_dynamic_adam`.
+
+    `rollout_impl` selects the integration engine:
+    - "scan": the lax.scan of scalar forward-dynamics steps (CPU-runnable,
+      differentiable w.r.t. robot parameters — the identification path);
+    - "pallas": the fused rollout kernel (ops/pallas/rollout.py) — all H
+      integration steps in one kernel launch with state resident in VMEM,
+      and the whole reverse sweep in one more (requires a concrete float32
+      robot; falls back to scan otherwise).
     """
     from ..ops.dynamics_scalar import mass_matrix_scalar, rnea_scalar
     from ..ops.kinematics import fk_link_position_dof_first
@@ -392,15 +401,24 @@ def solve_dynamic_adam_batch(
         tauT = tau_refT + to_torque_deltas(aT)
         return tauT if emax is None else jnp.clip(tauT, -emax, emax)
 
+    if rollout_impl == "pallas":
+        from ..ops.pallas.rollout import dynamic_rollout_pallas
+
+        rollout_fn = lambda tauT: dynamic_rollout_pallas(
+            robot, q0T, qd0T, tauT, dt, use_damping=use_damping
+        )
+    else:
+        rollout_fn = lambda tauT: dynamic_rollout_dof_major(
+            robot, q0T, qd0T, tauT, dt, use_damping=use_damping,
+            unroll=rollout_unroll, remat=rollout_remat,
+        )
+
     def cost_fn(aT):  # aT: [H, D, B] acceleration-unit action deltas
         dtau = to_torque_deltas(aT)
         tauT = tau_refT + dtau
         if emax is not None:
             tauT = jnp.clip(tauT, -emax, emax)
-        qs, _ = dynamic_rollout_dof_major(
-            robot, q0T, qd0T, tauT, dt, use_damping=use_damping,
-            unroll=rollout_unroll, remat=rollout_remat,
-        )
+        qs, _ = rollout_fn(tauT)
         p = fk_link_position_dof_first(
             robot, qs.transpose(1, 0, 2).reshape(D_, H * B), ee_link_idx
         ).reshape(3, H, B)
@@ -487,6 +505,7 @@ def solve_dynamic_mppi(
     precondition: bool = True,
     respect_effort_limits: bool = False,
     init_actions: jnp.ndarray | None = None,  # [H, D] absolute torques
+    rollout_impl: str = "scan",
 ) -> MPPIResult:
     """Gradient-free torque-space MPC: Model Predictive Path Integral
     control (Williams et al., ICRA 2017) over the differentiable
@@ -556,6 +575,15 @@ def solve_dynamic_mppi(
     else:
         a0 = jnp.zeros((H, D_), dtype) + 0.0 * q0
 
+    if rollout_impl == "pallas":
+        from ..ops.pallas.rollout import dynamic_rollout_pallas as _ro_fn
+
+        _rollout = lambda a, b, t: _ro_fn(robot, a, b, t, dt, use_damping=use_damping)
+    else:
+        _rollout = lambda a, b, t: dynamic_rollout_dof_major(
+            robot, a, b, t, dt, use_damping=use_damping
+        )
+
     def rollout_costs(tauK):  # [H, D, k] -> [k]
         # sample width follows tauK (K for the sampling sweep, 1 for the
         # final nominal-cost evaluation) so the nominal pass doesn't pay a
@@ -563,8 +591,8 @@ def solve_dynamic_mppi(
         k = tauK.shape[-1]
         q0K = jnp.broadcast_to(q0[:, None], (D_, k))
         qd0K = jnp.broadcast_to(qd0[:, None], (D_, k))
-        qs, _ = dynamic_rollout_dof_major(
-            robot, q0K, qd0K, tauK, dt, use_damping=use_damping
+        qs, _ = _rollout(
+            q0K, qd0K, tauK
         )  # [H, D, k] — the SAME integrator the Adam solver's plant uses
         p = fk_link_position_dof_first(
             robot, qs.transpose(1, 0, 2).reshape(D_, H * k), ee_link_idx

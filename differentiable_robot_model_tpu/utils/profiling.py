@@ -53,6 +53,8 @@ def benchmark(
     recorded-number methodology — bench.py, benchmarks/). `.mean` stays the
     mean over all windows.
     """
+    if iters < 1:
+        raise ValueError(f"benchmark() requires iters >= 1, got {iters}")
     if warmup:
         for _ in range(warmup):
             out = fn(*args, **kwargs)

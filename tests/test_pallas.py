@@ -182,3 +182,144 @@ def test_model_api_id_auto_dispatch_stays_scalar_off_tpu():
         model.compute_inverse_dynamics(q, qd, qdd, id_impl="scalar")
     )
     assert np.array_equal(t_auto, t_scalar)
+
+
+# ---------------------------------------------------------------------------
+# Fused dynamic-rollout kernel (ops/pallas/rollout.py)
+# ---------------------------------------------------------------------------
+
+
+class TestPallasRollout:
+    H, B, DT = 5, 4, 0.02
+
+    def _data(self, s, B=None):
+        B = B or self.B
+        D = s.n_dofs
+        rng = np.random.default_rng(7)
+        q0 = jnp.asarray(rng.uniform(-0.5, 0.5, (D, B)), jnp.float32)
+        qd0 = jnp.asarray(rng.uniform(-0.2, 0.2, (D, B)), jnp.float32)
+        tau = jnp.asarray(rng.uniform(-3, 3, (self.H, D, B)), jnp.float32)
+        return q0, qd0, tau
+
+    @pytest.mark.parametrize(
+        "ctor",
+        [DifferentiableKUKAiiwa, DifferentiableAllegroHand, DifferentiableFetchArm],
+    )
+    def test_rollout_matches_scan(self, ctor):
+        from differentiable_robot_model_tpu.ops.pallas.rollout import (
+            dynamic_rollout_pallas,
+        )
+        from differentiable_robot_model_tpu.trajopt.rollout import (
+            dynamic_rollout_dof_major,
+        )
+
+        s = ctor().struct
+        q0, qd0, tau = self._data(s)
+        with pltpu.force_tpu_interpret_mode():
+            qs_k, qds_k = dynamic_rollout_pallas(s, q0, qd0, tau, self.DT)
+        qs_r, qds_r = dynamic_rollout_dof_major(s, q0, qd0, tau, self.DT)
+        assert np.allclose(np.asarray(qs_k), np.asarray(qs_r), atol=1e-4)
+        assert np.allclose(np.asarray(qds_k), np.asarray(qds_r), atol=5e-4)
+
+    def test_rollout_backward_kernel_grads(self):
+        """Position-only cotangents take the fused backward kernel; gradients
+        match the scan path's VJP for all three inputs."""
+        from differentiable_robot_model_tpu.ops.pallas.rollout import (
+            dynamic_rollout_pallas,
+        )
+        from differentiable_robot_model_tpu.trajopt.rollout import (
+            dynamic_rollout_dof_major,
+        )
+
+        s = DifferentiableKUKAiiwa().struct
+        q0, qd0, tau = self._data(s)
+
+        def loss(fn):
+            return lambda t, a, b: jnp.sum(jnp.sin(fn(s, a, b, t, self.DT)[0]))
+
+        with pltpu.force_tpu_interpret_mode():
+            g_k = jax.grad(loss(dynamic_rollout_pallas), argnums=(0, 1, 2))(
+                tau, q0, qd0
+            )
+        g_r = jax.grad(loss(dynamic_rollout_dof_major), argnums=(0, 1, 2))(
+            tau, q0, qd0
+        )
+        for a, b in zip(g_k, g_r):
+            scale = max(1.0, float(jnp.max(jnp.abs(b))))
+            assert np.allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4 * scale
+            )
+
+    def test_rollout_general_cotangent_fallback(self):
+        """Velocity-trajectory cotangents route to the scan-path VJP (exact)."""
+        from differentiable_robot_model_tpu.ops.pallas.rollout import (
+            dynamic_rollout_pallas,
+        )
+        from differentiable_robot_model_tpu.trajopt.rollout import (
+            dynamic_rollout_dof_major,
+        )
+
+        s = DifferentiableKUKAiiwa().struct
+        q0, qd0, tau = self._data(s)
+
+        def loss(fn):
+            def go(t):
+                qs, qds = fn(s, q0, qd0, t, self.DT)
+                return jnp.sum(jnp.sin(qs)) + jnp.sum(qds**2)
+
+            return go
+
+        with pltpu.force_tpu_interpret_mode():
+            g_k = jax.grad(loss(dynamic_rollout_pallas))(tau)
+        g_r = jax.grad(loss(dynamic_rollout_dof_major))(tau)
+        scale = max(1.0, float(jnp.max(jnp.abs(g_r))))
+        assert np.allclose(np.asarray(g_k), np.asarray(g_r), atol=2e-4 * scale)
+
+    def test_solver_rollout_impl_pallas_matches_scan(self):
+        """solve_dynamic_adam_batch(rollout_impl="pallas") == "scan" to
+        fp32 accumulation over a short solve."""
+        from differentiable_robot_model_tpu.trajopt.solvers import (
+            solve_dynamic_adam_batch,
+        )
+
+        s = DifferentiableKUKAiiwa().struct
+        B = 3
+        rng = np.random.default_rng(11)
+        q0 = jnp.asarray(rng.uniform(-0.4, 0.4, (B, 7)), jnp.float32)
+        qd0 = jnp.zeros((B, 7), jnp.float32)
+        goals = jnp.asarray(rng.uniform(0.2, 0.6, (B, 3)), jnp.float32)
+        kw = dict(horizon=self.H, dt=self.DT, n_iters=3, eps=1e-1)
+        with pltpu.force_tpu_interpret_mode():
+            r_pallas = solve_dynamic_adam_batch(
+                s, q0, qd0, goals, s.link_index("iiwa_link_ee"),
+                rollout_impl="pallas", **kw,
+            )
+        r_scan = solve_dynamic_adam_batch(
+            s, q0, qd0, goals, s.link_index("iiwa_link_ee"),
+            rollout_impl="scan", **kw,
+        )
+        assert np.allclose(
+            np.asarray(r_pallas.actions), np.asarray(r_scan.actions), atol=5e-3
+        )
+        assert np.allclose(
+            np.asarray(r_pallas.cost), np.asarray(r_scan.cost), rtol=1e-3
+        )
+
+    def test_rollout_traced_robot_falls_back(self):
+        """A traced struct (robot-parameter differentiation) transparently
+        uses the scan path — robot gradients flow."""
+        from differentiable_robot_model_tpu.ops.pallas.rollout import (
+            dynamic_rollout_pallas,
+        )
+
+        s = DifferentiableKUKAiiwa().struct
+        q0, qd0, tau = self._data(s)
+
+        def loss(mass):
+            s2 = s.with_arrays(mass=mass)
+            qs, _ = dynamic_rollout_pallas(s2, q0, qd0, tau, self.DT)
+            return jnp.sum(qs**2)
+
+        g = jax.grad(loss)(s.mass)
+        assert np.any(np.asarray(g) != 0)
+        assert np.all(np.isfinite(np.asarray(g)))
