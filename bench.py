@@ -79,7 +79,7 @@ def _kin_solver(struct, ee_idx, fk_impl, eps):
     )
 
 
-def _dyn_solver(struct, ee_idx, eps):
+def _dyn_solver(struct, ee_idx, eps, rollout_impl="scan"):
     import jax
 
     from differentiable_robot_model_tpu.trajopt.solvers import (
@@ -90,6 +90,7 @@ def _dyn_solver(struct, ee_idx, eps):
         lambda q0_b, qd0_b, goal_b: solve_dynamic_adam_batch(
             struct, q0_b, qd0_b, goal_b, ee_idx,
             horizon=H, dt=DYN_DT, n_iters=ITERS, lr=DYN_LR, eps=eps,
+            rollout_impl=rollout_impl,
         ).actions
     )
 
@@ -186,7 +187,13 @@ def main():
         kin_parity[f"{eps:.0e}"] = float(np.max(np.abs(mine - ref[key])))
 
     # --- dynamic (torque-space) MPC: timing + eps parity grid ---------
-    dyn_solve = _dyn_solver(struct, ee_idx, DYN_EPS)
+    # On TPU the rollout engine is the fused Pallas kernel (all H
+    # integration steps + the adjoint sweep in one launch each,
+    # ops/pallas/rollout.py); the CPU reference subprocess keeps the scan
+    # path, so the parity scalars certify the KERNEL against the scalar
+    # implementation across backends.
+    dyn_impl = "pallas" if on_tpu else "scan"
+    dyn_solve = _dyn_solver(struct, ee_idx, DYN_EPS, dyn_impl)
     dyn_actions = dyn_solve(q0, qd0, goals)
     jax.block_until_ready(dyn_actions)
     dyn_dt = _throughput(dyn_solve, (q0, qd0, goals), reps=10)
@@ -200,7 +207,7 @@ def main():
         if eps == DYN_EPS:
             mine = np.asarray(dyn_actions[:SMALL])
         else:
-            small = _dyn_solver(struct, ee_idx, eps)(
+            small = _dyn_solver(struct, ee_idx, eps, dyn_impl)(
                 q0[:SMALL], qd0[:SMALL], goals[:SMALL]
             )
             mine = np.asarray(small)

@@ -38,6 +38,62 @@ def _throughput(fn, args, reps=20, windows=3):
     return benchmark(fn, *args, iters=reps, warmup=1, windows=windows).best_s
 
 
+# TPU v5e single-chip peaks (public spec): 197 TFLOP/s bf16 on the MXU,
+# 819 GB/s HBM bandwidth. The scalar dynamics recursions are fp32 VPU
+# code, so "% of peak" against the MXU number is intentionally the harsh
+# denominator — it is the roofline argument for WHY these ops are
+# latency-/VPU-bound rather than a claim they could hit it.
+V5E_PEAK_FLOPS = 197e12
+V5E_PEAK_BYTES = 819e9
+
+
+def _cost_analysis(fn, args):
+    """XLA's flop/byte estimate for the jitted fn at these shapes, or None.
+
+    Pallas kernels are opaque custom calls to XLA (their flops report as 0),
+    so callers pass the SCALAR twin here and attach its analytic flop count
+    to the kernel row — same math, same flops (ops/pallas/*.py docstrings).
+    """
+    try:
+        ca = fn.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return {
+            "flops": float(ca.get("flops", 0.0)),
+            "bytes": float(ca.get("bytes accessed", 0.0)),
+        }
+    except Exception:
+        return None
+
+
+def _io_bytes(args, outs):
+    import jax
+
+    total = 0
+    for x in list(args) + list(outs):
+        for leaf in jax.tree_util.tree_leaves(x):
+            total += leaf.size * leaf.dtype.itemsize
+    return total
+
+
+def _roofline(row, dt, flops, hbm_bytes, io_bytes):
+    """Attach achieved GFLOP/s, GB/s and %-of-v5e-peak columns to a row."""
+    if flops:
+        row["gflops_est"] = round(flops / 1e9, 3)
+        row["achieved_gflops_per_s"] = round(flops / dt / 1e9, 1)
+        row["pct_peak_flops"] = round(100.0 * flops / dt / V5E_PEAK_FLOPS, 3)
+    if hbm_bytes:
+        row["xla_bytes_est"] = int(hbm_bytes)
+        row["achieved_gb_per_s_xla"] = round(hbm_bytes / dt / 1e9, 1)
+        row["pct_peak_bw_xla"] = round(100.0 * hbm_bytes / dt / V5E_PEAK_BYTES, 3)
+    if io_bytes:
+        row["io_bytes"] = int(io_bytes)
+        row["achieved_gb_per_s_io"] = round(io_bytes / dt / 1e9, 1)
+    if flops and io_bytes:
+        row["arithmetic_intensity_io"] = round(flops / io_bytes, 2)
+    return row
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
@@ -130,6 +186,20 @@ def main():
             # a performance measurement) — skip them off-TPU.
             cases = {k: v for k, v in cases.items() if "pallas" not in k}
 
+        # Pallas kernels are opaque custom calls (XLA reports 0 flops), so
+        # each kernel row borrows its ANALYTIC flop count from the scalar
+        # twin computing the same math.
+        flops_src = {
+            "id_pallas": "id_scalar_dof_major",
+            "fk_pallas": "fk_scalar_dof_major",
+            "fk_pallas_dof_major": "fk_scalar_dof_major",
+        }
+        analyses = {
+            name: _cost_analysis(fn, a)
+            for name, (fn, a) in cases.items()
+            if "pallas" not in name
+        }
+
         for name, (fn, a) in cases.items():
             try:
                 dt = _throughput(fn, a, reps=args.reps)
@@ -142,6 +212,16 @@ def main():
                 "ms": round(dt * 1e3, 4),
                 "configs_per_s": round(B / dt, 1),
             }
+            ca = analyses.get(flops_src.get(name, name))
+            outs = jax.tree_util.tree_leaves(fn(*a))
+            _roofline(
+                row, dt,
+                flops=ca["flops"] if ca else 0,
+                # XLA's traffic estimate only describes the graph it
+                # analyzed — meaningless for the opaque kernel rows.
+                hbm_bytes=(ca["bytes"] if ca and "pallas" not in name else 0),
+                io_bytes=_io_bytes(a, outs),
+            )
             rows.append(row)
             print(json.dumps(row), flush=True)
 

@@ -77,6 +77,7 @@ def main():
         make_dynamic_mpc_step,
         make_dynamic_mpc_step_batch,
     )
+    dyn_b1 = {}  # (H, iters) -> (latency_s, closed-loop cost after 10 ticks)
 
     for horizon, iters in [(50, 10), (20, 3)]:
         dconfig = DynamicMPCConfig(horizon=horizon, iters_per_step=iters)
@@ -86,6 +87,19 @@ def main():
             dconfig,
         )
         ddt = measure(dstep, (dstate, goal), reps=20)
+
+        # closed-loop quality at this budget: cost + goal distance after 10
+        # warm-started ticks (goal_distance is the driver-agnostic scalar —
+        # the drivers' cost normalizations differ)
+        def _roll10(s0, stepfn):
+            def body(s, _):
+                s, m = stepfn(s, goal)
+                return s, (m.cost, m.goal_distance)
+            c, d = jax.lax.scan(body, s0, None, length=10)[1]
+            return c[-1], d[-1]
+
+        c10, d10 = jax.jit(lambda s: _roll10(s, dstep))(dstate)
+        dyn_b1[(horizon, iters)] = (ddt, float(c10), float(d10))
         B = 1024
         dstepB = jax.jit(make_dynamic_mpc_step_batch(struct, ee, dconfig))
         dstatesB = jax.vmap(
@@ -104,6 +118,52 @@ def main():
                     "replan_rate_hz_B1": round(1.0 / ddt, 1),
                     "replan_latency_ms_B1024": round(ddtB * 1e3, 3),
                     "replans_per_s_B1024": round(B / ddtB, 1),
+                    "closed_loop_cost_10_ticks_B1": round(dyn_b1[(horizon, iters)][1], 4),
+                    "goal_distance_10_ticks_B1": round(dyn_b1[(horizon, iters)][2], 4),
+                }
+            )
+        )
+
+    # Second-order (iLQR) closed-loop MPC step: the round-2 verdict's
+    # missing measurement — B=1 replan latency for the warm-started iLQR
+    # driver, plus cost-at-equal-budget vs the Adam driver (both report the
+    # closed-loop cost after 10 warm-started ticks from the same start
+    # state toward the same goal, so "which solver buys more quality per
+    # millisecond" is read directly off adjacent rows).
+    from differentiable_robot_model_tpu.trajopt.mpc import (
+        ILQRMPCConfig,
+        ilqr_mpc_init,
+        make_ilqr_mpc_step,
+    )
+    from differentiable_robot_model_tpu.trajopt.solvers import ilqr_batch
+
+    for horizon, iters in [(50, 5), (20, 5), (20, 3)]:
+        iconfig = ILQRMPCConfig(horizon=horizon, iters_per_step=iters)
+        istep = jax.jit(make_ilqr_mpc_step(struct, ee, iconfig))
+        istate = ilqr_mpc_init(
+            struct, jnp.zeros(7, jnp.float32), jnp.zeros(7, jnp.float32),
+            iconfig,
+        )
+        idt = measure(istep, (istate, goal), reps=20)
+
+        def _iroll10(s0):
+            def body(s, _):
+                s, m = istep(s, goal)
+                return s, (m.cost, m.goal_distance)
+            c, d = jax.lax.scan(body, s0, None, length=10)[1]
+            return c[-1], d[-1]
+
+        ic10, id10 = jax.jit(_iroll10)(istate)
+        print(
+            json.dumps(
+                {
+                    "workload": "ilqr_mpc_step",
+                    "horizon": horizon,
+                    "iters": iters,
+                    "replan_latency_ms_B1": round(idt * 1e3, 3),
+                    "replan_rate_hz_B1": round(1.0 / idt, 1),
+                    "closed_loop_cost_10_ticks_B1": round(float(ic10), 4),
+                    "goal_distance_10_ticks_B1": round(float(id10), 4),
                 }
             )
         )

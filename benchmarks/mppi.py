@@ -27,6 +27,13 @@ def main():
     ap.add_argument("--H", type=int, default=50)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--rollout-impl", default="auto", choices=("auto", "scan", "pallas"),
+        help="replan-regime rollout engine (auto = fused Pallas kernel on "
+        "TPU). The fleet regime stays on the scan path: it vmaps the "
+        "per-scenario solve, and a vmapped kernel call pads every "
+        "scenario's K samples to a full 1024-lane tile separately.",
+    )
     args = ap.parse_args()
 
     import jax
@@ -76,18 +83,22 @@ def main():
         })
 
     # replan-latency regime
+    impl = args.rollout_impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "scan"
     q0 = jnp.asarray(rng.uniform(0.4 * lo, 0.4 * hi, (7,)), jnp.float32)
     goal = K.fk_world(struct, q0)[1][ee] + jnp.asarray([0.05, 0.05, -0.05])
     for Ksamp in (128, 256, 512):
         fn = jax.jit(lambda q, g, k, Ks=Ksamp: solve_dynamic_mppi(
             struct, q, jnp.zeros(7, jnp.float32), g, ee, horizon=args.H,
-            key=k, n_samples=Ks, n_iters=args.iters,
+            key=k, n_samples=Ks, n_iters=args.iters, rollout_impl=impl,
         ).actions)
         res = benchmark(fn, q0, goal, jax.random.key(2), iters=10, warmup=2,
                         windows=3)
         dt = res.best_s
         emit({
             "regime": "replan", "B": 1, "n_samples": Ksamp,
+            "rollout_impl": impl,
             "replan_ms": round(dt * 1e3, 3),
             "replan_hz": round(1.0 / dt, 1),
         })

@@ -74,6 +74,8 @@ def main(out_path=None):
         )
     )
 
+    from benchmarks.dynamics_ops import _cost_analysis, _io_bytes, _roofline
+
     rows = []
     for B in BATCHES:
         q0 = jnp.asarray(rng.uniform(-0.5, 0.5, (D, B)), jnp.float32)
@@ -91,16 +93,20 @@ def main(out_path=None):
 
         tk = benchmark(k_fwd, q0, qd0, tau, iters=reps, warmup=1, windows=3).best_s
         tr = benchmark(r_fwd, q0, qd0, tau, iters=reps, warmup=1, windows=3).best_s
-        rows.append(
-            {
-                "op": "rollout_fwd", "B": B, "H": H,
-                "kernel_ms": round(tk * 1e3, 3), "scan_ms": round(tr * 1e3, 3),
-                "speedup": round(tr / tk, 2),
-                "kernel_rollouts_per_s": round(B / tk, 1),
-                "max_abs_err": err,
-                "kernel_compile_s": round(k_compile_s, 1),
-            }
-        )
+        # Roofline: the kernel is an opaque custom call to XLA, so its flop
+        # count is borrowed from the scan twin (identical step math).
+        ca = _cost_analysis(r_fwd, (q0, qd0, tau))
+        row = {
+            "op": "rollout_fwd", "B": B, "H": H,
+            "kernel_ms": round(tk * 1e3, 3), "scan_ms": round(tr * 1e3, 3),
+            "speedup": round(tr / tk, 2),
+            "kernel_rollouts_per_s": round(B / tk, 1),
+            "max_abs_err": err,
+            "kernel_compile_s": round(k_compile_s, 1),
+        }
+        _roofline(row, tk, flops=ca["flops"] if ca else 0, hbm_bytes=0,
+                  io_bytes=_io_bytes((q0, qd0, tau), [ok, ok]))
+        rows.append(row)
         print(json.dumps(rows[-1]), flush=True)
 
         gk = k_vjp(tau, q0, qd0)
@@ -110,15 +116,19 @@ def main(out_path=None):
         gerr = float(jnp.max(jnp.abs(gk - gr)))
         tk = benchmark(k_vjp, tau, q0, qd0, iters=reps, warmup=1, windows=3).best_s
         tr = benchmark(r_vjp, tau, q0, qd0, iters=reps, warmup=1, windows=3).best_s
-        rows.append(
-            {
-                "op": "rollout_fwd+vjp", "B": B, "H": H,
-                "kernel_ms": round(tk * 1e3, 3), "scan_ms": round(tr * 1e3, 3),
-                "speedup": round(tr / tk, 2),
-                "kernel_rollouts_per_s": round(B / tk, 1),
-                "max_abs_grad_err": gerr,
-            }
-        )
+        ca = _cost_analysis(r_vjp, (tau, q0, qd0))
+        gscale = max(1.0, float(jnp.max(jnp.abs(gr))))
+        row = {
+            "op": "rollout_fwd+vjp", "B": B, "H": H,
+            "kernel_ms": round(tk * 1e3, 3), "scan_ms": round(tr * 1e3, 3),
+            "speedup": round(tr / tk, 2),
+            "kernel_rollouts_per_s": round(B / tk, 1),
+            "max_abs_grad_err": gerr,
+            "max_rel_grad_err": gerr / gscale,
+        }
+        _roofline(row, tk, flops=ca["flops"] if ca else 0, hbm_bytes=0,
+                  io_bytes=_io_bytes((tau, q0, qd0), [gk]))
+        rows.append(row)
         print(json.dumps(rows[-1]), flush=True)
 
     out = {"backend": jax.default_backend(), "robot": "iiwa7", "rows": rows}

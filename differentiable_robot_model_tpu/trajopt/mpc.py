@@ -518,6 +518,13 @@ class MPPIMPCConfig:
     effort_weight: float = 1e-4
     replan_interval: int = 1
     respect_effort_limits: bool = False
+    # Rollout engine, like DynamicMPCConfig: "auto" = fused Pallas kernel on
+    # TPU (the K sample rollouts are one kernel launch), scan elsewhere.
+    rollout_impl: str = "auto"
+    # Per-dof noise-scale + softmax-temperature adaptation
+    # (solvers.solve_dynamic_mppi adapt_sigma/adapt_temperature).
+    adapt_sigma: bool = False
+    adapt_temperature: bool = False
 
 
 class MPPIMPCState(NamedTuple):
@@ -561,6 +568,9 @@ def make_mppi_mpc_step(
     from .solvers import solve_dynamic_mppi
 
     vmax = _velocity_bound(robot, 0)
+    rollout_impl = config.rollout_impl
+    if rollout_impl == "auto":
+        rollout_impl = "pallas" if jax.default_backend() == "tpu" else "scan"
 
     def step(state: MPPIMPCState, goal: jnp.ndarray):
         key_next, key_solve = jax.random.split(state.key)
@@ -574,6 +584,9 @@ def make_mppi_mpc_step(
             effort_weight=config.effort_weight,
             respect_effort_limits=config.respect_effort_limits,
             init_actions=state.plan,
+            rollout_impl=rollout_impl,
+            adapt_sigma=config.adapt_sigma,
+            adapt_temperature=config.adapt_temperature,
         )
         q, qd = state.q, state.qd
         for i in range(config.replan_interval):

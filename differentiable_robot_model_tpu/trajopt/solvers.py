@@ -506,6 +506,9 @@ def solve_dynamic_mppi(
     respect_effort_limits: bool = False,
     init_actions: jnp.ndarray | None = None,  # [H, D] absolute torques
     rollout_impl: str = "scan",
+    adapt_sigma: bool = False,
+    adapt_temperature: bool = False,
+    ess_target_frac: float = 0.5,
 ) -> MPPIResult:
     """Gradient-free torque-space MPC: Model Predictive Path Integral
     control (Williams et al., ICRA 2017) over the differentiable
@@ -541,6 +544,21 @@ def solve_dynamic_mppi(
     TPU those 128 rollouts ride the same batch lanes one scenario batch
     does. `temperature` is in units of the cost (~O(0.5) here); scale it
     with `goal_weight` if you change the cost magnitudes.
+
+    Sample-efficiency adaptation (both off by default, preserving the
+    tuned-constant behavior bit-for-bit):
+
+    - `adapt_sigma=True` adapts a per-dof noise scale inside the iteration
+      loop, CMA-style: sigma_d^2 <- (1-beta) sigma_d^2 + beta * sum_k w_k
+      mean_h eps_{hdk}^2 (beta=0.5), clamped to [noise_sigma/10,
+      noise_sigma*3]. Dofs whose perturbations keep winning keep their
+      exploration scale; dofs that only add cost shrink toward exploitation.
+    - `adapt_temperature=True` retunes the softmax temperature each
+      iteration toward a target effective sample size ESS = 1/sum w^2 of
+      `ess_target_frac * n_samples` (multiplicative update, clamped to
+      [temperature/30, temperature*30]): too-peaked weights (ESS below
+      target) raise it, too-flat weights lower it — the standard fix for
+      temperature being cost-scale-sensitive.
     """
     from ..ops.dynamics_scalar import (
         ldl_solve_scalar,
@@ -609,19 +627,36 @@ def solve_dynamic_mppi(
         effort_c = effort_weight * jnp.mean(dtau * dtau, axis=(0, 1))
         return goal_c + effort_c
 
+    sigma0 = jnp.full((D_,), jnp.asarray(noise_sigma, dtype)) + 0.0 * q0
+    temp0 = jnp.asarray(temperature, dtype) + 0.0 * q0[0]
+
     def iteration(carry, key_i):
-        a = carry  # [H, D] nominal, accel units
-        eps = noise_sigma * jax.random.normal(key_i, (H, D_, K), dtype)
+        a, sigma, temp = carry  # [H, D] nominal (accel units), [D], []
+        eps = sigma[None, :, None] * jax.random.normal(
+            key_i, (H, D_, K), dtype
+        )
         # sample 0 is the unperturbed nominal: the update can only move
         # probability mass toward improvement, never lose the incumbent
         eps = eps.at[:, :, 0].set(0.0)
         costs = sample_costs(a[:, :, None] + eps)  # [K]
-        w = jax.nn.softmax(-(costs - jnp.min(costs)) / temperature)  # [K]
+        w = jax.nn.softmax(-(costs - jnp.min(costs)) / temp)  # [K]
         a = a + jnp.einsum("hdk,k->hd", eps, w)
-        return a, jnp.min(costs)
+        if adapt_sigma:
+            # weighted second moment of the selected noise, per dof
+            m2 = jnp.einsum("hdk,k->d", eps * eps, w) / H  # [D]
+            sigma = jnp.sqrt(0.5 * sigma**2 + 0.5 * m2)
+            sigma = jnp.clip(sigma, noise_sigma / 10.0, noise_sigma * 3.0)
+        if adapt_temperature:
+            ess = 1.0 / jnp.sum(w * w)
+            ratio = (ess_target_frac * K) / ess
+            temp = jnp.clip(
+                temp * jnp.clip(ratio, 0.7, 1.4),
+                temperature / 30.0, temperature * 30.0,
+            )
+        return (a, sigma, temp), jnp.min(costs)
 
-    a, best_costs = jax.lax.scan(
-        iteration, a0, jax.random.split(key, n_iters)
+    (a, _, _), best_costs = jax.lax.scan(
+        iteration, (a0, sigma0, temp0), jax.random.split(key, n_iters)
     )
     # final nominal cost at sample width 1 (rollout_costs sizes itself to
     # tauK; scan-wrapped like the Adam solvers to keep XLA:TPU compile fast)

@@ -780,3 +780,33 @@ def test_mppi_warm_start_and_batch(iiwa_scenarios):
     assert rb.actions.shape == (B, 6, 7)
     assert rb.cost.shape == (B,)
     assert np.all(np.isfinite(np.asarray(rb.cost_history)))
+
+
+def test_mppi_adaptation_flags(iiwa_scenarios):
+    """adapt_sigma/adapt_temperature change the solve (the adapted state is
+    live), stay deterministic per key, and still improve on the hover
+    baseline; flags default off so the tuned-constant path is unchanged."""
+    from differentiable_robot_model_tpu.trajopt.solvers import (
+        solve_dynamic_adam,
+        solve_dynamic_mppi,
+    )
+
+    struct, ee, q0, qd0, goals = iiwa_scenarios
+    key = jax.random.key(7)
+    kw = dict(horizon=8, n_samples=64, n_iters=6)
+    base = solve_dynamic_mppi(struct, q0[0], qd0[0], goals[0], ee, key=key, **kw)
+    adapt = jax.jit(lambda q, qd, g, k: solve_dynamic_mppi(
+        struct, q, qd, g, ee, key=k, adapt_sigma=True,
+        adapt_temperature=True, **kw,
+    ))
+    res = adapt(q0[0], qd0[0], goals[0], key)
+    assert np.all(np.isfinite(np.asarray(res.cost_history)))
+    hover = float(solve_dynamic_adam(
+        struct, q0[0], qd0[0], goals[0], ee, horizon=8, n_iters=1, lr=0.0,
+    ).cost)
+    assert float(res.cost) < hover
+    # adaptation is live: same key, different trajectory than fixed constants
+    assert not np.allclose(np.asarray(res.actions), np.asarray(base.actions))
+    # still a pure function of the key
+    res2 = adapt(q0[0], qd0[0], goals[0], key)
+    assert np.allclose(np.asarray(res.actions), np.asarray(res2.actions))
