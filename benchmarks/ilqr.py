@@ -120,6 +120,10 @@ def main():
             }
             rows.append(row)
             print(json.dumps(row), flush=True)
+            if args.out:  # write incrementally: a killed run keeps its rows
+                with open(args.out, "w") as f:
+                    json.dump({"backend": backend, "H": H,
+                               "iters": args.iters, "rows": rows}, f, indent=1)
 
     if args.out:
         with open(args.out, "w") as f:

@@ -933,9 +933,17 @@ def ilqr(
             Qxx = lxx_t + A_t.T @ Vxx @ A_t
             Quu = luu_t + B_t.T @ Vxx @ B_t + lam * jnp.eye(m, dtype=us.dtype)
             Qux = lux_t + B_t.T @ Vxx @ A_t
-            chol = jax.scipy.linalg.cho_factor(Quu)
-            k = -jax.scipy.linalg.cho_solve(chol, Qu)
-            Kmat = -jax.scipy.linalg.cho_solve(chol, Qux)
+            # LU solve, NOT Cholesky: on a nonlinear plant the propagated
+            # value Hessian (and hence Quu) can go indefinite faster than
+            # the LM lambda grows, and cho_factor then emits NaN gains that
+            # poison every EARLIER stage of this reverse scan — measured as
+            # 100% wasted iterations on the iiwa reach benchmark
+            # (RICCATI_DIAG_r03.json; the round-2 "sequential" iLQR rows
+            # never left their initial cost). LU keeps the gains finite on
+            # indefinite blocks — the same algebra the parallel composition
+            # uses — and the line search rejects any non-descent step.
+            k = -jnp.linalg.solve(Quu, Qu[..., None])[..., 0]
+            Kmat = -jnp.linalg.solve(Quu, Qux)
             Vx_new = Qx + Kmat.T @ Quu @ k + Kmat.T @ Qu + Qux.T @ k
             Vxx_new = Qxx + Kmat.T @ Quu @ Kmat + Kmat.T @ Qux + Qux.T @ Kmat
             Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)

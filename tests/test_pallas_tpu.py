@@ -179,6 +179,71 @@ def test_dynamic_mpc_solver_runs_on_chip(iiwa):
     assert np.all(hist[-1] <= hist[0])
 
 
+def test_compiled_rollout_kernel_matches_scan(iiwa):
+    """The fused dynamic-rollout kernel (ops/pallas/rollout.py), COMPILED:
+    forward trajectories and position-cotangent gradients match the scan
+    path at a ragged batch."""
+    from differentiable_robot_model_tpu.ops.pallas.rollout import (
+        dynamic_rollout_pallas,
+    )
+    from differentiable_robot_model_tpu.trajopt.rollout import (
+        dynamic_rollout_dof_major,
+    )
+
+    H, B, DT = 10, 1100, 0.02  # B != tile multiple
+    rng = np.random.default_rng(40)
+    q0 = jnp.asarray(rng.uniform(-0.5, 0.5, (7, B)), jnp.float32)
+    qd0 = jnp.asarray(rng.uniform(-0.2, 0.2, (7, B)), jnp.float32)
+    tau = jnp.asarray(rng.uniform(-3, 3, (H, 7, B)), jnp.float32)
+
+    qs_k, qds_k = jax.jit(
+        lambda a, b, t: dynamic_rollout_pallas(iiwa, a, b, t, DT)
+    )(q0, qd0, tau)
+    qs_s, qds_s = jax.jit(
+        lambda a, b, t: dynamic_rollout_dof_major(iiwa, a, b, t, DT)
+    )(q0, qd0, tau)
+    assert np.allclose(np.asarray(qs_k), np.asarray(qs_s), atol=5e-4)
+    assert np.allclose(np.asarray(qds_k), np.asarray(qds_s), atol=2e-3)
+
+    def loss(fn):
+        return lambda t: jnp.sum(jnp.sin(fn(iiwa, q0, qd0, t, DT)[0]))
+
+    g_k = jax.jit(jax.grad(loss(dynamic_rollout_pallas)))(tau)
+    g_s = jax.jit(jax.grad(loss(dynamic_rollout_dof_major)))(tau)
+    scale = max(1.0, float(jnp.max(jnp.abs(g_s))))
+    assert np.allclose(
+        np.asarray(g_k), np.asarray(g_s), atol=1e-3 * scale
+    )
+
+
+def test_dynamic_mpc_pallas_rollout_on_chip(iiwa):
+    """The dynamic flagship's COMPILED kernel path (bench.py's round-3
+    configuration) agrees with the scan path end-to-end through a solve."""
+    from differentiable_robot_model_tpu.trajopt.solvers import (
+        solve_dynamic_adam_batch,
+    )
+
+    ee = iiwa.link_index("iiwa_link_ee")
+    B = 64
+    q0 = _rand(B, 7, seed=41, scale=0.5)
+    qd0 = jnp.zeros((B, 7), jnp.float32)
+    goals = jax.vmap(
+        lambda x: fk_link_position_dof_first(iiwa, x[:, None], ee)[:, 0]
+    )(_rand(B, 7, seed=42, scale=0.7))
+    kw = dict(horizon=10, n_iters=5, lr=0.5, eps=1e-1)
+    r_p = jax.jit(
+        lambda a, b, c: solve_dynamic_adam_batch(
+            iiwa, a, b, c, ee, rollout_impl="pallas", **kw
+        ).actions
+    )(q0, qd0, goals)
+    r_s = jax.jit(
+        lambda a, b, c: solve_dynamic_adam_batch(
+            iiwa, a, b, c, ee, rollout_impl="scan", **kw
+        ).actions
+    )(q0, qd0, goals)
+    assert np.allclose(np.asarray(r_p), np.asarray(r_s), atol=5e-3)
+
+
 def test_model_api_id_impl_dispatch(iiwa):
     """compute_inverse_dynamics id_impl dispatch: auto picks Pallas above the
     measured crossover (DYNOPS_r02.json), and all three impls agree."""

@@ -374,6 +374,57 @@ def test_parallel_riccati_matches_sequential():
     )
 
 
+def test_sequential_riccati_survives_indefinite_quu():
+    """Round-3 fork fix (RICCATI_DIAG_r03.json): on a nonlinear plant whose
+    terminal Hessian drives Quu indefinite, the sequential backward pass
+    must keep making progress (the old cho_factor path emitted NaN gains at
+    EVERY stage and the solve never left its initial cost) and must land
+    within a few percent of the parallel path's cost."""
+    # Pendulum-ish plant with a trig observation: the terminal Hessian of
+    # 500*(sin(x0)-s*)^2 is strongly indefinite where cos(x0)^2 term loses
+    # to the -sin(x0) curvature term.
+    dt = 0.1
+
+    def dynamics(x, u):
+        th, w = x[0], x[1]
+        w2 = w + dt * (u[0] - 2.0 * jnp.sin(th))
+        return jnp.stack([th + dt * w2, w2])
+
+    target = -0.9
+
+    def obs_err(x):
+        return jnp.sin(x[0]) - target
+
+    def cost(x, u):
+        return 0.01 * jnp.sum(u * u) + 5.0 * obs_err(x) ** 2
+
+    def final_cost(x):
+        return 500.0 * obs_err(x) ** 2 + 50.0 * x[1] ** 2
+
+    # start at the peak of sin with the target at the trough: the
+    # Gauss-Newton term cos^2 vanishes and the residual-curvature term
+    # -(sin - t) sin dominates, making the terminal Hessian indefinite
+    x0 = jnp.asarray([1.5, 0.0], jnp.float32)
+    us0 = jnp.zeros((25, 1), jnp.float32)
+
+    Vxx0 = np.asarray(jax.hessian(final_cost)(x0))
+    assert np.linalg.eigvalsh(Vxx0)[0] < 0, "test premise: indefinite Vxx"
+
+    r_seq = jax.jit(lambda: ilqr(
+        dynamics, cost, final_cost, x0, us0, n_iters=25, riccati="sequential"
+    ))()
+    r_par = jax.jit(lambda: ilqr(
+        dynamics, cost, final_cost, x0, us0, n_iters=25, riccati="parallel"
+    ))()
+    h_seq = np.asarray(r_seq.cost_history)
+    h_par = np.asarray(r_par.cost_history)
+    assert np.all(np.isfinite(h_seq))
+    # the old code returned h_seq[-1] == h_seq[0] exactly (all NaN gains)
+    assert h_seq[-1] < 0.5 * h_seq[0]
+    # both backward passes solve the same problem to within a few percent
+    assert h_seq[-1] < 1.1 * h_par[-1] + 1e-6
+
+
 def test_parallel_riccati_iiwa_reach():
     """Horizon-parallel iLQR solves the kinematic iiwa reach like the
     sequential one (float32, real robot plant)."""
@@ -465,7 +516,11 @@ def test_ilqr_iiwa_reach():
 
     x0 = jnp.asarray([0.5, 0.3, -0.2, -1.2, 0.4, 1.0, 0.1], jnp.float32)
     us0 = jnp.zeros((20, 7), jnp.float32)
-    res = jax.jit(lambda: ilqr(dynamics, cost, final_cost, x0, us0, n_iters=12))()
+    # 20 iterations of headroom, same as the parallel twin below: f32
+    # solves on the clip-discontinuous plant fork at borderline
+    # line-search accepts, so the exact iterate count to a given distance
+    # is seed- and roundoff-sensitive.
+    res = jax.jit(lambda: ilqr(dynamics, cost, final_cost, x0, us0, n_iters=20))()
     hist = np.asarray(res.cost_history)
     assert hist[-1] < hist[0]
     _, p = K.fk_world(struct, res.xs[-1])

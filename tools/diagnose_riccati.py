@@ -36,8 +36,14 @@ def main():
     ap.add_argument("--horizon", type=int, default=30)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument(
+        "--cholesky", action="store_true",
+        help="use the PRE-round-3-fix cho_factor gains in the sequential "
+        "path (reproduces the NaN-poisoning failure this tool diagnosed)",
+    )
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    use_cholesky = args.cholesky
 
     import jax
 
@@ -109,9 +115,15 @@ def main():
             Qxx = lxx_t + A_t.T @ Vxx @ A_t
             Quu = luu_t + B_t.T @ Vxx @ B_t + lam * jnp.eye(m, dtype=A_t.dtype)
             Qux = lux_t + B_t.T @ Vxx @ A_t
-            chol = jax.scipy.linalg.cho_factor(Quu)
-            k = -jax.scipy.linalg.cho_solve(chol, Qu)
-            Kmat = -jax.scipy.linalg.cho_solve(chol, Qux)
+            # LU solve, matching the round-3 fix in solvers.py (pass
+            # --cholesky to reproduce the pre-fix NaN-poisoning behavior)
+            if use_cholesky:
+                chol = jax.scipy.linalg.cho_factor(Quu)
+                k = -jax.scipy.linalg.cho_solve(chol, Qu)
+                Kmat = -jax.scipy.linalg.cho_solve(chol, Qux)
+            else:
+                k = -jnp.linalg.solve(Quu, Qu[..., None])[..., 0]
+                Kmat = -jnp.linalg.solve(Quu, Qux)
             Vx_new = Qx + Kmat.T @ Quu @ k + Kmat.T @ Qu + Qux.T @ k
             Vxx_new = Qxx + Kmat.T @ Quu @ Kmat + Kmat.T @ Qux + Qux.T @ Kmat
             Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)
