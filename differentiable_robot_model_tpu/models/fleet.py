@@ -315,6 +315,7 @@ def dynamic_rollout_fleet(
     dt: float,
     use_damping: bool = True,
     respect_effort_limits: bool = False,
+    remat: bool = True,
 ):
     """Semi-implicit Euler rollout through the fleet forward dynamics for
     ONE padded robot (vmap over the fleet axis serves R robots at once).
@@ -324,12 +325,19 @@ def dynamic_rollout_fleet(
     per-dof velocity clamp to the URDF limits (<=0 means unbounded), and —
     with `respect_effort_limits=True` — the actuator effort box on every
     applied torque. Returns (qs, qds), each [H, Dmax] (state AFTER each
-    step)."""
+    step).
+
+    `remat=True` (default) checkpoints each integration step: the fleet
+    FK/dynamics carry [..., 3, 3]-trailing intermediates whose TPU tile
+    padding is ~57x, so saving them across the whole horizon for the
+    backward pass overflows HBM at production shapes (measured: 28 GB
+    demanded for a 310 MB-unpadded residual set at R=4, B=512, H=20 —
+    benchmarks/fleet.py). Recomputing the step in the backward trades
+    ~2x rollout FLOPs for O(carry) memory."""
     vmax = jnp.where(robot.limit_velocity > 0, robot.limit_velocity, jnp.inf)
     emax = jnp.where(robot.limit_effort > 0, robot.limit_effort, jnp.inf)
 
-    def step(carry, tau_t):
-        q, qd = carry
+    def step_math(q, qd, tau_t):
         if respect_effort_limits:
             tau_t = jnp.clip(tau_t, -emax, emax)
         qdd = fd_step_implicit_damping_fleet(
@@ -337,6 +345,13 @@ def dynamic_rollout_fleet(
         )
         qd_next = jnp.clip(qd + dt * qdd, -vmax, vmax)
         q_next = q + dt * qd_next
+        return q_next, qd_next
+
+    if remat:
+        step_math = jax.checkpoint(step_math)
+
+    def step(carry, tau_t):
+        q_next, qd_next = step_math(carry[0], carry[1], tau_t)
         return (q_next, qd_next), (q_next, qd_next)
 
     _, (qs, qds) = jax.lax.scan(step, (q0, qd0), taus)

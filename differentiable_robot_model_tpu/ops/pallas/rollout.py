@@ -317,6 +317,41 @@ def _fd_step_folded(
     return tuple(q_next), tuple(qd_next)
 
 
+def _ee_fk_folded(robot: RobotStruct, c: dict, q, ee_link_idx: int):
+    """World position of one link's frame origin at config `q` (per-dof
+    [SUB, LANE] lanes), ancestor chain only — the same composition as
+    ops/kinematics.fk_link_position_dof_first, with robot constants folded
+    as float32 immediates. Used to emit the end-effector trajectory from
+    inside the rollout kernel (fuses the MPC cost's FK into the kernel)."""
+    link_dof = {l: d for d, l in enumerate(robot.dof_links)}
+    chain = []
+    k = ee_link_idx
+    while k != 0:
+        chain.append(k)
+        k = robot.parent[k]
+    chain.reverse()
+
+    Rw = f._IDENTITY9
+    pw = (0.0, 0.0, 0.0)
+    for l in chain:
+        jt = robot.joint_types[l]
+        F = _rpy_entries(robot, None, l, c)
+        a3 = _axis_entries(robot, None, l, c)
+        t = _trans_entries(robot, None, l, c)
+        if jt == JOINT_REVOLUTE:
+            qv = q[link_dof[l]]
+            cs, sn = jnp.cos(qv), jnp.sin(qv)
+            R = f.mat3(F, f.rodrigues(a3[0], a3[1], a3[2], cs, sn))
+        elif jt == JOINT_PRISMATIC:
+            R = F
+            t = f.v_add(t, f.v_scale(f.rot(F, a3), q[link_dof[l]]))
+        else:
+            R = F
+        pw = f.v_add(pw, f.rot(Rw, t))
+        Rw = f.mat3(Rw, R)
+    return pw
+
+
 # ---------------------------------------------------------------------------
 # Kernels
 # ---------------------------------------------------------------------------
@@ -394,6 +429,78 @@ def _bwd_kernel(
         gqd0_ref[d] = gqd[d]
 
 
+def _fwd_ee_kernel(
+    robot, c, H, dt, include_gravity, use_damping, gravity, ee,
+    q0_ref, qd0_ref, tau_ref, qs_ref, qds_ref, ps_ref,
+):
+    """Forward rollout + per-step end-effector position, one launch."""
+    D = robot.n_dofs
+    q0 = tuple(q0_ref[d] for d in range(D))
+    qd0 = tuple(qd0_ref[d] for d in range(D))
+
+    def body(h, carry):
+        q, qd = carry
+        tau = tuple(tau_ref[h * D + d] for d in range(D))
+        qn, qdn = _fd_step_folded(
+            robot, c, dt, include_gravity, use_damping, gravity, q, qd, tau
+        )
+        pe = _ee_fk_folded(robot, c, qn, ee)
+        for d in range(D):
+            qs_ref[h * D + d] = qn[d]
+            qds_ref[h * D + d] = qdn[d]
+        for j in range(3):
+            ps_ref[h * 3 + j] = pe[j]
+        return (qn, qdn)
+
+    jax.lax.fori_loop(0, H, body, (q0, qd0))
+
+
+def _bwd_ee_kernel(
+    robot, c, H, dt, include_gravity, use_damping, gravity, ee,
+    q0_ref, qd0_ref, tau_ref, qs_ref, qds_ref, gps_ref,
+    gtau_ref, gq0_ref, gqd0_ref,
+):
+    """Adjoint of the EE-fused rollout for the MPC hot path: the only
+    incoming cotangent is on the end-effector trajectory (the cost reads
+    positions of the ee link only); replay step h from the saved state
+    trajectory and pull (gq, gqd, gpe[h]) back through jax.vjp of the
+    step+ee-FK function."""
+    D = robot.n_dofs
+    shape = (SUB_R, LANE_R)
+    dtype = gtau_ref.dtype
+
+    def step_fn(q, qd, tau):
+        qn, qdn = _fd_step_folded(
+            robot, c, dt, include_gravity, use_damping, gravity, q, qd, tau
+        )
+        return qn, qdn, _ee_fk_folded(robot, c, qn, ee)
+
+    zeros = tuple(jnp.zeros(shape, dtype) for _ in range(D))
+
+    def body(i, carry):
+        gq, gqd = carry
+        h = H - 1 - i
+        hm = jnp.maximum(h - 1, 0)
+        is0 = h == 0
+        qp, qdp, tau, gpe = [], [], [], []
+        for d in range(D):
+            qp.append(jnp.where(is0, q0_ref[d], qs_ref[hm * D + d]))
+            qdp.append(jnp.where(is0, qd0_ref[d], qds_ref[hm * D + d]))
+            tau.append(tau_ref[h * D + d])
+        for j in range(3):
+            gpe.append(gps_ref[h * 3 + j])
+        _, pull = jax.vjp(step_fn, tuple(qp), tuple(qdp), tuple(tau))
+        dq, dqd, dtau = pull((gq, gqd, tuple(gpe)))
+        for d in range(D):
+            gtau_ref[h * D + d] = dtau[d]
+        return (dq, dqd)
+
+    gq, gqd = jax.lax.fori_loop(0, H, body, (zeros, zeros))
+    for d in range(D):
+        gq0_ref[d] = gq[d]
+        gqd0_ref[d] = gqd[d]
+
+
 # ---------------------------------------------------------------------------
 # Host wrappers
 # ---------------------------------------------------------------------------
@@ -456,6 +563,61 @@ def _run_bwd(robot, c, H, dt, ig, ud, g, q0P, qd0P, tauP, qsP, qdsP, gqsP):
             vmem_limit_bytes=24 * 1024 * 1024
         ),
     )(q0P, qd0P, tauP, qsP, qdsP, gqsP)
+
+
+def _run_fwd_ee(robot, c, H, dt, ig, ud, g, ee, q0P, qd0P, tauP):
+    D, Nt = q0P.shape[0], q0P.shape[1]
+    dtype = q0P.dtype
+
+    def kernel(q0_ref, qd0_ref, tau_ref, qs_ref, qds_ref, ps_ref):
+        _fwd_ee_kernel(
+            robot, c, H, dt, ig, ud, g, ee,
+            q0_ref.at[:, 0], qd0_ref.at[:, 0], tau_ref.at[:, 0],
+            qs_ref.at[:, 0], qds_ref.at[:, 0], ps_ref.at[:, 0],
+        )
+
+    out = jax.ShapeDtypeStruct((H * D, Nt, SUB_R, LANE_R), dtype)
+    out_p = jax.ShapeDtypeStruct((H * 3, Nt, SUB_R, LANE_R), dtype)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(out, out, out_p),
+        grid=(Nt,),
+        in_specs=[_spec(D), _spec(D), _spec(H * D)],
+        out_specs=(_spec(H * D), _spec(H * D), _spec(H * 3)),
+    )(q0P, qd0P, tauP)
+
+
+def _run_bwd_ee(robot, c, H, dt, ig, ud, g, ee, q0P, qd0P, tauP, qsP, qdsP, gpsP):
+    D, Nt = q0P.shape[0], q0P.shape[1]
+    dtype = q0P.dtype
+
+    def kernel(q0_ref, qd0_ref, tau_ref, qs_ref, qds_ref, gps_ref,
+               gtau_ref, gq0_ref, gqd0_ref):
+        _bwd_ee_kernel(
+            robot, c, H, dt, ig, ud, g, ee,
+            q0_ref.at[:, 0], qd0_ref.at[:, 0], tau_ref.at[:, 0],
+            qs_ref.at[:, 0], qds_ref.at[:, 0], gps_ref.at[:, 0],
+            gtau_ref.at[:, 0], gq0_ref.at[:, 0], gqd0_ref.at[:, 0],
+        )
+
+    outs = (
+        jax.ShapeDtypeStruct((H * D, Nt, SUB_R, LANE_R), dtype),
+        jax.ShapeDtypeStruct((D, Nt, SUB_R, LANE_R), dtype),
+        jax.ShapeDtypeStruct((D, Nt, SUB_R, LANE_R), dtype),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=outs,
+        grid=(Nt,),
+        in_specs=[_spec(D), _spec(D), _spec(H * D), _spec(H * D), _spec(H * D),
+                  _spec(H * 3)],
+        out_specs=(_spec(H * D), _spec(D), _spec(D)),
+        # Same VMEM rationale as _run_bwd: trajectory blocks + step-VJP
+        # residual spills overflow the 16 MB default at H=50.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024
+        ),
+    )(q0P, qd0P, tauP, qsP, qdsP, gpsP)
 
 
 def _pack_db(x, Nt):
@@ -547,6 +709,142 @@ def _rollout_frozen(robot, H, dt, include_gravity, use_damping, gravity):
 
     fn.defvjp(fwd, bwd, symbolic_zeros=True)
     return fn
+
+
+def _rollout_ee_frozen(robot, H, dt, include_gravity, use_damping, gravity, ee):
+    """custom_vjp factory for the EE-fused rollout (struct in closure, same
+    rationale as _rollout_frozen)."""
+    c = _consts(robot)
+    D = robot.n_dofs
+
+    def run_fwd(q0T, qd0T, tauT):
+        B = q0T.shape[1]
+        pad = (-B) % TILE_R
+        Nt = (B + pad) // TILE_R
+        padb = lambda x: jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, pad),))
+        q0P = _pack_db(padb(q0T), Nt)
+        qd0P = _pack_db(padb(qd0T), Nt)
+        tauP = _pack_hdb(padb(tauT), Nt)
+        qsP, qdsP, psP = _run_fwd_ee(
+            robot, c, H, dt, include_gravity, use_damping, gravity, ee,
+            q0P, qd0P, tauP,
+        )
+        return (
+            _unpack_hdb(qsP, H, D, B),
+            _unpack_hdb(qdsP, H, D, B),
+            _unpack_hdb(psP, H, 3, B),
+            (q0P, qd0P, tauP, qsP, qdsP, Nt, B),
+        )
+
+    @jax.custom_vjp
+    def fn(q0T, qd0T, tauT):
+        qs, qds, ps, _ = run_fwd(q0T, qd0T, tauT)
+        return qs, qds, ps
+
+    def fwd(q0T_p, qd0T_p, tauT_p):
+        from .fk import _unwrap_primal
+
+        q0T, _ = _unwrap_primal(q0T_p)
+        qd0T, _ = _unwrap_primal(qd0T_p)
+        tauT, _ = _unwrap_primal(tauT_p)
+        qs, qds, ps, packed = run_fwd(q0T, qd0T, tauT)
+        return (qs, qds, ps), (q0T, qd0T, tauT, packed)
+
+    def bwd(res, g):
+        from jax.custom_derivatives import SymbolicZero
+
+        q0T, qd0T, tauT, (q0P, qd0P, tauP, qsP, qdsP, Nt, B) = res
+        gqs, gqds, gps = g
+        only_ee = (
+            isinstance(gqs, SymbolicZero)
+            and isinstance(gqds, SymbolicZero)
+            and not isinstance(gps, SymbolicZero)
+        )
+        if only_ee:
+            # Hot path (the MPC cost reads the ee trajectory only).
+            pad = Nt * TILE_R - B
+            gpsP = _pack_hdb(jnp.pad(gps, ((0, 0), (0, 0), (0, pad))), Nt)
+            gtauP, gq0P, gqd0P = _run_bwd_ee(
+                robot, c, H, dt, include_gravity, use_damping, gravity, ee,
+                q0P, qd0P, tauP, qsP, qdsP, gpsP,
+            )
+            return (
+                gq0P.reshape(D, -1)[:, :B],
+                gqd0P.reshape(D, -1)[:, :B],
+                _unpack_hdb(gtauP, H, D, B),
+            )
+        # General cotangents: differentiate the scan-path twin (identical
+        # math: scan rollout + scalar-sweep FK).
+        from ...ops.kinematics import fk_link_position_dof_first
+        from ...trajopt.rollout import dynamic_rollout_dof_major
+
+        def ref(a, b, t):
+            qs, qds = dynamic_rollout_dof_major(
+                robot, a, b, t, dt,
+                include_gravity=include_gravity, use_damping=use_damping,
+            )
+            ps = fk_link_position_dof_first(
+                robot, qs.transpose(1, 0, 2).reshape(D, -1), ee
+            ).reshape(3, H, -1).transpose(1, 0, 2)
+            return qs, qds, ps
+
+        z = lambda gv, sh: (
+            jnp.zeros(sh, q0T.dtype) if isinstance(gv, SymbolicZero) else gv
+        )
+        _, vjp = jax.vjp(ref, q0T, qd0T, tauT)
+        return vjp((
+            z(gqs, (H, D, B)), z(gqds, (H, D, B)), z(gps, (H, 3, B)),
+        ))
+
+    fn.defvjp(fwd, bwd, symbolic_zeros=True)
+    return fn
+
+
+def dynamic_rollout_ee_pallas(
+    robot: RobotStruct,
+    q0T: jnp.ndarray,  # [D, B]
+    qd0T: jnp.ndarray,  # [D, B]
+    tauT: jnp.ndarray,  # [H, D, B]
+    dt: float,
+    ee_link_idx: int,
+    include_gravity: bool = True,
+    use_damping: bool = True,
+    gravity: float = GRAVITY,
+    respect_effort_limits: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """EE-fused twin of `dynamic_rollout_pallas`: additionally emits the
+    world position of `ee_link_idx` after every integration step,
+    pee [H, 3, B], computed INSIDE the kernel (the MPC cost's FK fused into
+    the rollout — zero separate FK dispatches per solver iteration). When
+    only pee is differentiated (the MPC hot path), the adjoint runs as one
+    fused backward launch; other cotangent patterns and traced robots fall
+    back to the scan+FK twin.
+    """
+    c = _consts(robot)
+    if c is None or robot.n_dofs == 0:
+        from ...ops.kinematics import fk_link_position_dof_first
+        from ...trajopt.rollout import dynamic_rollout_dof_major
+
+        qs, qds = dynamic_rollout_dof_major(
+            robot, q0T, qd0T, tauT, dt,
+            include_gravity=include_gravity, use_damping=use_damping,
+            respect_effort_limits=respect_effort_limits,
+        )
+        H_, D_ = tauT.shape[0], tauT.shape[1]
+        ps = fk_link_position_dof_first(
+            robot, qs.transpose(1, 0, 2).reshape(D_, -1), ee_link_idx
+        ).reshape(3, H_, -1).transpose(1, 0, 2)
+        return qs, qds, ps
+    if respect_effort_limits:
+        from ...trajopt.rollout import _effort_bound
+
+        emax = _effort_bound(robot, 1)
+        tauT = jnp.clip(tauT, -emax, emax)
+    H = tauT.shape[0]
+    fn = _rollout_ee_frozen(
+        robot, H, dt, include_gravity, use_damping, gravity, ee_link_idx
+    )
+    return fn(q0T, qd0T, tauT)
 
 
 def dynamic_rollout_pallas(

@@ -402,26 +402,33 @@ def solve_dynamic_adam_batch(
         return tauT if emax is None else jnp.clip(tauT, -emax, emax)
 
     if rollout_impl == "pallas":
-        from ..ops.pallas.rollout import dynamic_rollout_pallas
+        # EE-fused kernel: the rollout emits the end-effector trajectory
+        # directly (the cost's FK runs INSIDE the kernel), so each solver
+        # iteration is exactly one forward launch + one adjoint launch.
+        from ..ops.pallas.rollout import dynamic_rollout_ee_pallas
 
-        rollout_fn = lambda tauT: dynamic_rollout_pallas(
-            robot, q0T, qd0T, tauT, dt, use_damping=use_damping
-        )
+        def ee_traj_fn(tauT):  # [H, D, B] -> p [3, H, B]
+            _, _, ps = dynamic_rollout_ee_pallas(
+                robot, q0T, qd0T, tauT, dt, ee_link_idx,
+                use_damping=use_damping,
+            )
+            return ps.transpose(1, 0, 2)
     else:
-        rollout_fn = lambda tauT: dynamic_rollout_dof_major(
-            robot, q0T, qd0T, tauT, dt, use_damping=use_damping,
-            unroll=rollout_unroll, remat=rollout_remat,
-        )
+        def ee_traj_fn(tauT):
+            qs, _ = dynamic_rollout_dof_major(
+                robot, q0T, qd0T, tauT, dt, use_damping=use_damping,
+                unroll=rollout_unroll, remat=rollout_remat,
+            )
+            return fk_link_position_dof_first(
+                robot, qs.transpose(1, 0, 2).reshape(D_, H * B), ee_link_idx
+            ).reshape(3, H, B)
 
     def cost_fn(aT):  # aT: [H, D, B] acceleration-unit action deltas
         dtau = to_torque_deltas(aT)
         tauT = tau_refT + dtau
         if emax is not None:
             tauT = jnp.clip(tauT, -emax, emax)
-        qs, _ = rollout_fn(tauT)
-        p = fk_link_position_dof_first(
-            robot, qs.transpose(1, 0, 2).reshape(D_, H * B), ee_link_idx
-        ).reshape(3, H, B)
+        p = ee_traj_fn(tauT)
         err = goal_weight * (p - goalT[:, None, :])
         cost_b = jnp.mean(err * err, axis=(0, 1)) + effort_weight * jnp.mean(
             dtau * dtau, axis=(0, 1)
@@ -594,13 +601,24 @@ def solve_dynamic_mppi(
         a0 = jnp.zeros((H, D_), dtype) + 0.0 * q0
 
     if rollout_impl == "pallas":
-        from ..ops.pallas.rollout import dynamic_rollout_pallas as _ro_fn
+        # EE-fused kernel (see solve_dynamic_adam_batch): the sample
+        # rollouts emit the end-effector trajectory directly.
+        from ..ops.pallas.rollout import dynamic_rollout_ee_pallas as _ro_ee
 
-        _rollout = lambda a, b, t: _ro_fn(robot, a, b, t, dt, use_damping=use_damping)
+        def _ee_traj(a, b, t):  # -> [3, H, k]
+            _, _, ps = _ro_ee(
+                robot, a, b, t, dt, ee_link_idx, use_damping=use_damping
+            )
+            return ps.transpose(1, 0, 2)
     else:
-        _rollout = lambda a, b, t: dynamic_rollout_dof_major(
-            robot, a, b, t, dt, use_damping=use_damping
-        )
+        def _ee_traj(a, b, t):
+            qs, _ = dynamic_rollout_dof_major(
+                robot, a, b, t, dt, use_damping=use_damping
+            )  # [H, D, k] — the SAME integrator the Adam solver's plant uses
+            k = t.shape[-1]
+            return fk_link_position_dof_first(
+                robot, qs.transpose(1, 0, 2).reshape(D_, H * k), ee_link_idx
+            ).reshape(3, H, k)
 
     def rollout_costs(tauK):  # [H, D, k] -> [k]
         # sample width follows tauK (K for the sampling sweep, 1 for the
@@ -609,12 +627,7 @@ def solve_dynamic_mppi(
         k = tauK.shape[-1]
         q0K = jnp.broadcast_to(q0[:, None], (D_, k))
         qd0K = jnp.broadcast_to(qd0[:, None], (D_, k))
-        qs, _ = _rollout(
-            q0K, qd0K, tauK
-        )  # [H, D, k] — the SAME integrator the Adam solver's plant uses
-        p = fk_link_position_dof_first(
-            robot, qs.transpose(1, 0, 2).reshape(D_, H * k), ee_link_idx
-        ).reshape(3, H, k)
+        p = _ee_traj(q0K, qd0K, tauK)
         err = goal_weight * (p - goal_ee_pos[:, None, None])
         return jnp.mean(err * err, axis=(0, 1))  # [k]
 

@@ -305,6 +305,68 @@ class TestPallasRollout:
             np.asarray(r_pallas.cost), np.asarray(r_scan.cost), rtol=1e-3
         )
 
+    def test_rollout_ee_matches_scan_plus_fk(self):
+        """EE-fused rollout (dynamic_rollout_ee_pallas): the in-kernel
+        end-effector trajectory equals scan rollout + FK, for values and
+        for the ee-only-cotangent fused backward."""
+        from differentiable_robot_model_tpu.ops.kinematics import (
+            fk_link_position_dof_first,
+        )
+        from differentiable_robot_model_tpu.ops.pallas.rollout import (
+            dynamic_rollout_ee_pallas,
+        )
+        from differentiable_robot_model_tpu.trajopt.rollout import (
+            dynamic_rollout_dof_major,
+        )
+
+        s = DifferentiableKUKAiiwa().struct
+        ee = s.link_index("iiwa_link_ee")
+        q0, qd0, tau = self._data(s)
+        D, B = q0.shape
+
+        def ref(t):
+            qs, qds = dynamic_rollout_dof_major(s, q0, qd0, t, self.DT)
+            ps = fk_link_position_dof_first(
+                s, qs.transpose(1, 0, 2).reshape(D, -1), ee
+            ).reshape(3, self.H, B).transpose(1, 0, 2)
+            return qs, qds, ps
+
+        with pltpu.force_tpu_interpret_mode():
+            qs_k, qds_k, ps_k = dynamic_rollout_ee_pallas(
+                s, q0, qd0, tau, self.DT, ee
+            )
+        qs_r, qds_r, ps_r = ref(tau)
+        assert np.allclose(np.asarray(qs_k), np.asarray(qs_r), atol=1e-4)
+        assert np.allclose(np.asarray(qds_k), np.asarray(qds_r), atol=5e-4)
+        assert np.allclose(np.asarray(ps_k), np.asarray(ps_r), atol=1e-4)
+
+        # ee-only cotangent: the fused backward kernel
+        def loss_k(t):
+            _, _, ps = dynamic_rollout_ee_pallas(s, q0, qd0, t, self.DT, ee)
+            return jnp.sum(jnp.sin(ps))
+
+        with pltpu.force_tpu_interpret_mode():
+            g_k = jax.grad(loss_k)(tau)
+        g_r = jax.grad(lambda t: jnp.sum(jnp.sin(ref(t)[2])))(tau)
+        scale = max(1.0, float(jnp.max(jnp.abs(g_r))))
+        assert np.allclose(np.asarray(g_k), np.asarray(g_r), atol=2e-4 * scale)
+
+        # mixed cotangents (ee + state trajectory) route to the scan VJP
+        def loss_mixed(fn3):
+            def go(t):
+                qs, _, ps = fn3(t)
+                return jnp.sum(jnp.sin(ps)) + jnp.sum(qs**2)
+
+            return go
+
+        with pltpu.force_tpu_interpret_mode():
+            g_k2 = jax.grad(loss_mixed(
+                lambda t: dynamic_rollout_ee_pallas(s, q0, qd0, t, self.DT, ee)
+            ))(tau)
+        g_r2 = jax.grad(loss_mixed(ref))(tau)
+        scale2 = max(1.0, float(jnp.max(jnp.abs(g_r2))))
+        assert np.allclose(np.asarray(g_k2), np.asarray(g_r2), atol=2e-4 * scale2)
+
     def test_rollout_traced_robot_falls_back(self):
         """A traced struct (robot-parameter differentiation) transparently
         uses the scan path — robot gradients flow."""

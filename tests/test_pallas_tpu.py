@@ -216,6 +216,43 @@ def test_compiled_rollout_kernel_matches_scan(iiwa):
     )
 
 
+def test_compiled_ee_fused_rollout_matches_scan_fk(iiwa):
+    """COMPILED EE-fused rollout (in-kernel end-effector FK): trajectory and
+    ee-cotangent gradients match scan + FK."""
+    from differentiable_robot_model_tpu.ops.pallas.rollout import (
+        dynamic_rollout_ee_pallas,
+    )
+    from differentiable_robot_model_tpu.trajopt.rollout import (
+        dynamic_rollout_dof_major,
+    )
+
+    ee = iiwa.link_index("iiwa_link_ee")
+    H, B, DT = 10, 900, 0.02
+    rng = np.random.default_rng(43)
+    q0 = jnp.asarray(rng.uniform(-0.5, 0.5, (7, B)), jnp.float32)
+    qd0 = jnp.asarray(rng.uniform(-0.2, 0.2, (7, B)), jnp.float32)
+    tau = jnp.asarray(rng.uniform(-3, 3, (H, 7, B)), jnp.float32)
+
+    def ref(t):
+        qs, _ = dynamic_rollout_dof_major(iiwa, q0, qd0, t, DT)
+        return fk_link_position_dof_first(
+            iiwa, qs.transpose(1, 0, 2).reshape(7, -1), ee
+        ).reshape(3, H, B).transpose(1, 0, 2)
+
+    ps_k = jax.jit(
+        lambda t: dynamic_rollout_ee_pallas(iiwa, q0, qd0, t, DT, ee)[2]
+    )(tau)
+    ps_r = jax.jit(ref)(tau)
+    assert np.allclose(np.asarray(ps_k), np.asarray(ps_r), atol=5e-5)
+
+    g_k = jax.jit(jax.grad(lambda t: jnp.sum(jnp.sin(
+        dynamic_rollout_ee_pallas(iiwa, q0, qd0, t, DT, ee)[2]
+    ))))(tau)
+    g_r = jax.jit(jax.grad(lambda t: jnp.sum(jnp.sin(ref(t)))))(tau)
+    scale = max(1.0, float(jnp.max(jnp.abs(g_r))))
+    assert np.allclose(np.asarray(g_k), np.asarray(g_r), atol=1e-3 * scale)
+
+
 def test_dynamic_mpc_pallas_rollout_on_chip(iiwa):
     """The dynamic flagship's COMPILED kernel path (bench.py's round-3
     configuration) agrees with the scan path end-to-end through a solve."""
