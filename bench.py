@@ -43,6 +43,12 @@ SMALL = 8  # scenarios cross-checked against the CPU reference
 EPS_GRID = (1e-8, 1e-1, 1.0)
 KIN_LR, KIN_EPS = 0.05, 1.0
 DYN_LR, DYN_EPS, DYN_DT = 0.5, 1e-1, 0.02
+# Second-order (iLQR) section: B=64 scenarios at the flagship horizon,
+# plus a reduced config (H=10, 3 iters, 2 scenarios) for the CPU-parity
+# scalar — per-stage Jacobians/Hessians through the dynamics are ~15x an
+# Adam iteration, so parity runs on a budget the CPU subprocess can hold.
+ILQR_B, ILQR_ITERS = 64, 5
+ILQR_CPU_B, ILQR_CPU_H, ILQR_CPU_ITERS = 2, 10, 3
 
 
 def _build_scenarios():
@@ -79,7 +85,7 @@ def _kin_solver(struct, ee_idx, fk_impl, eps):
     )
 
 
-def _dyn_solver(struct, ee_idx, eps, rollout_impl="scan"):
+def _dyn_solver(struct, ee_idx, eps, rollout_impl="scan", n_iters=ITERS):
     import jax
 
     from differentiable_robot_model_tpu.trajopt.solvers import (
@@ -89,10 +95,80 @@ def _dyn_solver(struct, ee_idx, eps, rollout_impl="scan"):
     return jax.jit(
         lambda q0_b, qd0_b, goal_b: solve_dynamic_adam_batch(
             struct, q0_b, qd0_b, goal_b, ee_idx,
-            horizon=H, dt=DYN_DT, n_iters=ITERS, lr=DYN_LR, eps=eps,
+            horizon=H, dt=DYN_DT, n_iters=n_iters, lr=DYN_LR, eps=eps,
             rollout_impl=rollout_impl,
         ).actions
     )
+
+
+def _ilqr_solver(struct, ee_idx, n_iters):
+    """Vmapped second-order solve on the same torque plant: state (q, qd),
+    control = applied torque, semi-implicit Euler with implicit damping —
+    the second-order completion of the reference's first-order trajopt
+    (reference: examples/run_kinematic_trajectory_opt.py:88-99)."""
+    import jax
+    import jax.numpy as jnp
+
+    from differentiable_robot_model_tpu.ops import kinematics as K
+    from differentiable_robot_model_tpu.trajopt.rollout import (
+        fd_step_implicit_damping,
+    )
+    from differentiable_robot_model_tpu.trajopt.solvers import ilqr
+
+    D = struct.n_dofs
+
+    def dynamics(x, u):
+        q, qd = x[:D], x[D:]
+        qdd = fd_step_implicit_damping(struct, q, qd, u, DYN_DT)
+        qd2 = qd + DYN_DT * qdd
+        return jnp.concatenate([q + DYN_DT * qd2, qd2])
+
+    def solve_one(x0, us0, goal):
+        def cost(x, u):
+            p = K.fk_link_position(struct, x[:D], ee_idx)
+            return 10.0 * jnp.sum((p - goal) ** 2) + 1e-4 * jnp.sum(u * u)
+
+        def final_cost(x):
+            p = K.fk_link_position(struct, x[:D], ee_idx)
+            return 100.0 * jnp.sum((p - goal) ** 2)
+
+        return ilqr(
+            dynamics, cost, final_cost, x0, us0, n_iters=n_iters
+        ).us
+
+    return jax.jit(jax.vmap(solve_one))
+
+
+def _ilqr_warm_start(struct, q0_b, horizon):
+    """Gravity-compensation warm start [B, horizon, D] (bounded initial
+    rollout)."""
+    import jax.numpy as jnp
+
+    from differentiable_robot_model_tpu.ops.dynamics_scalar import rnea_scalar
+
+    z = 0.0 * q0_b.T
+    tau_ref = rnea_scalar(struct, q0_b.T, z, z).T  # [B, D]
+    return jnp.tile(tau_ref[:, None, :], (1, horizon, 1))
+
+
+def _final_goal_dist(struct, ee_idx, q0_b, qd0_b, taus_bhd, goals_b):
+    """Mean final end-effector distance to goal after rolling the applied
+    torques through the deployment integrator — the solver-agnostic
+    quality scalar shared by the Adam and iLQR rows."""
+    import jax.numpy as jnp
+
+    from differentiable_robot_model_tpu.ops.kinematics import (
+        fk_link_position_dof_first,
+    )
+    from differentiable_robot_model_tpu.trajopt.rollout import (
+        dynamic_rollout_dof_major,
+    )
+
+    qs, _ = dynamic_rollout_dof_major(
+        struct, q0_b.T, qd0_b.T, taus_bhd.transpose(1, 2, 0), DYN_DT
+    )  # [H, D, B]
+    p = fk_link_position_dof_first(struct, qs[-1], ee_idx)  # [3, B]
+    return float(jnp.mean(jnp.linalg.norm(p - goals_b.T, axis=0)))
 
 
 def cpu_ref_main(in_path: str, out_path: str) -> None:
@@ -115,6 +191,15 @@ def cpu_ref_main(in_path: str, out_path: str) -> None:
         out[f"kin_{eps:.0e}"] = np.asarray(kin)
         dyn = _dyn_solver(struct, ee_idx, eps)(q0, qd0, goals)
         out[f"dyn_{eps:.0e}"] = np.asarray(dyn)
+    # Second-order parity: the reduced iLQR config (see ILQR_CPU_*).
+    qi = q0[:ILQR_CPU_B]
+    us0 = _ilqr_warm_start(struct, qi, ILQR_CPU_H)
+    x0s = jnp.concatenate([qi, jnp.zeros_like(qi)], axis=1)
+    out["ilqr"] = np.asarray(
+        _ilqr_solver(struct, ee_idx, ILQR_CPU_ITERS)(
+            x0s, us0, goals[:ILQR_CPU_B]
+        )
+    )
     np.savez(out_path, **out)
 
 
@@ -213,6 +298,51 @@ def main():
             mine = np.asarray(small)
         dyn_parity[f"{eps:.0e}"] = float(np.max(np.abs(mine - ref[key])))
 
+    # --- second-order (iLQR) on the same torque plant ------------------
+    # Throughput at B=64 / flagship horizon, a solver-agnostic quality
+    # scalar (final EE goal distance through the deployment integrator)
+    # for iLQR vs Adam at each solver's native budget AND vs Adam given
+    # iLQR's wall-clock (the cost-at-equal-budget comparison), and a
+    # CPU-parity scalar on the reduced config.
+    qi = q0[:ILQR_B]
+    qdi = qd0[:ILQR_B]
+    gi = goals[:ILQR_B]
+    x0s = jnp.concatenate([qi, qdi], axis=1)
+    us0 = _ilqr_warm_start(struct, qi, H)
+    ilqr_solve = _ilqr_solver(struct, ee_idx, ILQR_ITERS)
+    ilqr_us = ilqr_solve(x0s, us0, gi)
+    jax.block_until_ready(ilqr_us)
+    ilqr_dt = _throughput(ilqr_solve, (x0s, us0, gi), reps=5)
+    ilqr_goal_dist = _final_goal_dist(struct, ee_idx, qi, qdi, ilqr_us, gi)
+
+    adam64_dt = _throughput(dyn_solve, (qi, qdi, gi), reps=10)
+    adam64_us = dyn_solve(qi, qdi, gi)
+    adam_goal_dist = _final_goal_dist(struct, ee_idx, qi, qdi, adam64_us, gi)
+
+    # Adam given iLQR's wall-clock: scale iteration count by the measured
+    # per-solve time ratio (capped at 100 iterations).
+    n_eq = int(min(100, max(ITERS, round(ITERS * ilqr_dt / max(adam64_dt, 1e-9)))))
+    adam_eq_solve = _dyn_solver(struct, ee_idx, DYN_EPS, dyn_impl, n_iters=n_eq)
+    adam_eq_us = adam_eq_solve(qi, qdi, gi)
+    jax.block_until_ready(adam_eq_us)
+    adam_eq_dt = _throughput(adam_eq_solve, (qi, qdi, gi), reps=5)
+    adam_eq_goal_dist = _final_goal_dist(
+        struct, ee_idx, qi, qdi, adam_eq_us, gi
+    )
+
+    ilqr_parity = float("nan")
+    if "ilqr" in ref:
+        us0_s = _ilqr_warm_start(struct, q0[:ILQR_CPU_B], ILQR_CPU_H)
+        x0s_s = jnp.concatenate(
+            [q0[:ILQR_CPU_B], qd0[:ILQR_CPU_B]], axis=1
+        )
+        mine = np.asarray(
+            _ilqr_solver(struct, ee_idx, ILQR_CPU_ITERS)(
+                x0s_s, us0_s, goals[:ILQR_CPU_B]
+            )
+        )
+        ilqr_parity = float(np.max(np.abs(mine - ref["ilqr"])))
+
     target_per_chip = 10000.0 / 16.0
     print(
         json.dumps(
@@ -234,6 +364,26 @@ def main():
                 ),
                 "dynamic_control_seq_max_err_vs_cpu_by_eps": dyn_parity,
                 "dynamic_solve_batch_latency_ms": round(dyn_dt * 1e3, 3),
+                "ilqr_solves_per_s": round(ILQR_B / ilqr_dt, 1),
+                "ilqr_unit": (
+                    f"solves/s (iiwa torque-space iLQR, H={H}, B={ILQR_B}, "
+                    f"{ILQR_ITERS} iters, sequential Riccati)"
+                ),
+                "ilqr_solve_batch_latency_ms": round(ilqr_dt * 1e3, 3),
+                "ilqr_control_seq_max_err_vs_cpu": ilqr_parity,
+                "ilqr_vs_adam_equal_budget": {
+                    "ilqr_ms": round(ilqr_dt * 1e3, 3),
+                    "ilqr_iters": ILQR_ITERS,
+                    "ilqr_final_goal_dist_m": round(ilqr_goal_dist, 4),
+                    "adam_ms": round(adam64_dt * 1e3, 3),
+                    "adam_iters": ITERS,
+                    "adam_final_goal_dist_m": round(adam_goal_dist, 4),
+                    "adam_equal_budget_ms": round(adam_eq_dt * 1e3, 3),
+                    "adam_equal_budget_iters": n_eq,
+                    "adam_equal_budget_final_goal_dist_m": round(
+                        adam_eq_goal_dist, 4
+                    ),
+                },
                 "backend": jax.default_backend(),
             }
         )

@@ -7,6 +7,14 @@ topology-as-data), B scenarios per member: R*B solves per call.
   the bench.py kinematic flagship).
 - DYNAMIC: `solve_fleet_dynamic_adam` (full fleet forward dynamics in the
   loop).
+- IDENTIFICATION through the fleet solve: the iiwa member's link-2 z
+  translation is perturbed +5 cm and recovered by matching expert MPC
+  plans (action sequences the TRUE fleet's solver produces for the same
+  start states and goals), with gradients flowing through the entire
+  unrolled fleet MPC solve back to the kinematic parameter — the fleet
+  analogue of the reference's learnable-kinematics experiments
+  (reference: examples/learn_kinematics_of_iiwa.py), emitted as a
+  per-step convergence curve.
 
 Emits one JSON line per configuration; run on the TPU chip.
 
@@ -28,10 +36,13 @@ def main():
     ap.add_argument("--B", type=int, default=512)
     ap.add_argument("--H", type=int, default=20)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--ident-steps", type=int, default=20)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/drm_tpu_jax_cache")
     import jax.numpy as jnp
 
     import differentiable_robot_model_tpu as drm
@@ -93,6 +104,70 @@ def main():
         "workload": "fleet_dynamic_mpc",
         "solve_batch_ms": round(res.best_s * 1e3, 2),
         "solves_per_s": round(R * B / res.best_s, 1),
+    })
+
+    # --- identification THROUGH the fleet MPC solve -------------------
+    # The TRUE fleet's solver produces expert plans for a grid of start
+    # states and goals; a fleet whose iiwa link-2 z translation is off by
+    # +5 cm is then fit by matching those plans, the gradient flowing
+    # through the entire unrolled fleet MPC solve back to the kinematic
+    # parameter (loss minimum is exactly at the true parameter).
+    from differentiable_robot_model_tpu.models.fleet import (
+        ee_position_fleet,
+    )
+
+    H_id, it_id = 8, 12
+    rng_id = np.random.default_rng(7)
+    q_goal = np.clip(
+        rng_id.uniform(-0.6, 0.6, (R, Dmax)),
+        np.asarray(fleet.limit_lower), np.asarray(fleet.limit_upper),
+    ).astype(np.float32)
+    goals_id = jax.vmap(ee_position_fleet)(fleet, jnp.asarray(q_goal))
+    q0_id = jnp.asarray(
+        rng_id.uniform(-0.2, 0.2, (R, Dmax)).astype(np.float32)
+    )
+
+    def plan(delta):
+        f = fleet._replace(trans=fleet.trans.at[1, 2, 2].add(delta))
+        return solve_fleet_kinematic_adam(
+            f, q0_id, goals_id, horizon=H_id, n_iters=it_id,
+            lr=2e-2, eps=1e-3,
+        ).actions
+
+    expert = jax.jit(plan)(jnp.asarray(0.0, jnp.float32))
+    expert = jax.block_until_ready(expert)
+
+    def match_loss(delta):
+        return 1e3 * jnp.mean((plan(delta) - expert) ** 2)
+
+    ident_grad = jax.jit(jax.value_and_grad(match_loss))
+    delta = jnp.asarray(0.05, jnp.float32)
+    m = v = 0.0
+    lr_id, b1, b2 = 1e-2, 0.9, 0.999
+    import time as _time
+
+    t0 = _time.perf_counter()
+    for step in range(args.ident_steps):
+        loss, g = ident_grad(delta)
+        m = b1 * m + (1 - b1) * float(g)
+        v = b2 * v + (1 - b2) * float(g) ** 2
+        mh = m / (1 - b1 ** (step + 1))
+        vh = v / (1 - b2 ** (step + 1))
+        # geometric step decay damps the Adam momentum overshoot once the
+        # 1-D parameter crosses its optimum
+        delta = delta - lr_id * (0.9 ** step) * mh / (vh ** 0.5 + 1e-8)
+        emit({
+            "workload": "fleet_identification",
+            "step": step,
+            "plan_match_loss": round(float(loss), 8),
+            "param_error_m": round(abs(float(delta)), 6),
+        })
+    emit({
+        "workload": "fleet_identification_summary",
+        "steps": args.ident_steps,
+        "initial_param_error_m": 0.05,
+        "final_param_error_m": round(abs(float(delta)), 6),
+        "wall_s": round(_time.perf_counter() - t0, 2),
     })
 
     if args.out:

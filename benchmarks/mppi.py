@@ -103,6 +103,36 @@ def main():
             "replan_hz": round(1.0 / dt, 1),
         })
 
+    # replan-floor decomposition: replan_ms(H, n_iters) at K=128.
+    # Each MPPI iteration is one fused-rollout launch whose H integration
+    # steps are SEQUENTIAL (in-kernel latency, not throughput); n_iters=0
+    # isolates dispatch + setup + the final nominal-cost rollout. The
+    # per-iteration slope over n_iters and its division by H give the
+    # per-FD-step latency — the measured floor under the >=500 Hz target.
+    iter_grid = (0, 1, 2, 5, 10)
+    for Hf in (20, 50):
+        ms = {}
+        for ni in iter_grid:
+            fn = jax.jit(lambda q, g, k, n=ni, h=Hf: solve_dynamic_mppi(
+                struct, q, jnp.zeros(7, jnp.float32), g, ee, horizon=h,
+                key=k, n_samples=128, n_iters=n, rollout_impl=impl,
+            ).actions)
+            res = benchmark(fn, q0, goal, jax.random.key(2), iters=10,
+                            warmup=2, windows=3)
+            ms[ni] = res.best_s * 1e3
+            emit({
+                "regime": "replan_floor", "H": Hf, "n_samples": 128,
+                "n_iters": ni, "replan_ms": round(ms[ni], 3),
+                "replan_hz": round(1e3 / ms[ni], 1),
+            })
+        slope = (ms[10] - ms[1]) / 9.0
+        emit({
+            "regime": "replan_floor_fit", "H": Hf, "n_samples": 128,
+            "dispatch_setup_final_ms": round(ms[0], 3),
+            "per_iteration_ms": round(slope, 4),
+            "per_fd_step_us": round(1e3 * slope / Hf, 2),
+        })
+
     if args.out:
         with open(args.out, "w") as f:
             f.write("\n".join(out_lines) + "\n")
