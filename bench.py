@@ -177,6 +177,7 @@ def cpu_ref_main(in_path: str, out_path: str) -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/drm_tpu_jax_cache")
     import jax.numpy as jnp
 
     data = np.load(in_path)
@@ -235,6 +236,11 @@ def _throughput(solve, args, reps):
 
 def main():
     import jax
+
+    # Persistent compile cache: the fused-rollout Mosaic compile is ~15 min
+    # cold; with the cache primed (any prior bench/verify run on this host)
+    # the whole flagship runs in minutes.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/drm_tpu_jax_cache")
     import jax.numpy as jnp
 
     struct, ee_idx, q0_np, goals_np = _build_scenarios()

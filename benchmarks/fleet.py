@@ -147,6 +147,7 @@ def main():
     import time as _time
 
     t0 = _time.perf_counter()
+    best_err = 0.05
     for step in range(args.ident_steps):
         loss, g = ident_grad(delta)
         m = b1 * m + (1 - b1) * float(g)
@@ -156,6 +157,7 @@ def main():
         # geometric step decay damps the Adam momentum overshoot once the
         # 1-D parameter crosses its optimum
         delta = delta - lr_id * (0.9 ** step) * mh / (vh ** 0.5 + 1e-8)
+        best_err = min(best_err, abs(float(delta)))
         emit({
             "workload": "fleet_identification",
             "step": step,
@@ -167,6 +169,7 @@ def main():
         "steps": args.ident_steps,
         "initial_param_error_m": 0.05,
         "final_param_error_m": round(abs(float(delta)), 6),
+        "best_param_error_m": round(best_err, 6),
         "wall_s": round(_time.perf_counter() - t0, 2),
     })
 

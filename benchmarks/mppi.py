@@ -88,22 +88,32 @@ def main():
         impl = "pallas" if jax.default_backend() == "tpu" else "scan"
     q0 = jnp.asarray(rng.uniform(0.4 * lo, 0.4 * hi, (7,)), jnp.float32)
     goal = K.fk_world(struct, q0)[1][ee] + jnp.asarray([0.05, 0.05, -0.05])
+    # Two pipeline depths per config: 10-deep (a control loop that only
+    # tolerates a short dispatch queue) and 100-deep (steady-state
+    # deployment where the host streams replans). The difference is pure
+    # measurement infrastructure: each timing window pays one ~25 ms
+    # dev-tunnel sync, so a 10-deep window smears +2.5 ms/call onto the
+    # true per-replan cost — the deep number is the chip's.
     for Ksamp in (128, 256, 512):
         fn = jax.jit(lambda q, g, k, Ks=Ksamp: solve_dynamic_mppi(
             struct, q, jnp.zeros(7, jnp.float32), g, ee, horizon=args.H,
             key=k, n_samples=Ks, n_iters=args.iters, rollout_impl=impl,
         ).actions)
-        res = benchmark(fn, q0, goal, jax.random.key(2), iters=10, warmup=2,
-                        windows=3)
-        dt = res.best_s
+        shallow = benchmark(fn, q0, goal, jax.random.key(2), iters=10,
+                            warmup=2, windows=3)
+        deep = benchmark(fn, q0, goal, jax.random.key(2), iters=100,
+                         warmup=2, windows=3)
         emit({
             "regime": "replan", "B": 1, "n_samples": Ksamp,
             "rollout_impl": impl,
-            "replan_ms": round(dt * 1e3, 3),
-            "replan_hz": round(1.0 / dt, 1),
+            "replan_ms": round(shallow.best_s * 1e3, 3),
+            "replan_hz": round(1.0 / shallow.best_s, 1),
+            "replan_ms_pipelined": round(deep.best_s * 1e3, 3),
+            "replan_hz_pipelined": round(1.0 / deep.best_s, 1),
         })
 
-    # replan-floor decomposition: replan_ms(H, n_iters) at K=128.
+    # replan-floor decomposition: replan_ms(H, n_iters) at K=128, measured
+    # 100-deep so the per-window tunnel sync doesn't drown the signal.
     # Each MPPI iteration is one fused-rollout launch whose H integration
     # steps are SEQUENTIAL (in-kernel latency, not throughput); n_iters=0
     # isolates dispatch + setup + the final nominal-cost rollout. The
@@ -117,7 +127,7 @@ def main():
                 struct, q, jnp.zeros(7, jnp.float32), g, ee, horizon=h,
                 key=k, n_samples=128, n_iters=n, rollout_impl=impl,
             ).actions)
-            res = benchmark(fn, q0, goal, jax.random.key(2), iters=10,
+            res = benchmark(fn, q0, goal, jax.random.key(2), iters=100,
                             warmup=2, windows=3)
             ms[ni] = res.best_s * 1e3
             emit({
