@@ -857,6 +857,7 @@ def ilqr(
     riccati: str = "sequential",
     riccati_mesh=None,
     control_bounds: tuple | None = None,
+    diagnostics: bool = False,
 ) -> ILQRResult:
     """Iterative LQR over generic dynamics x' = f(x, u) and costs.
 
@@ -890,6 +891,15 @@ def ilqr(
     control_bounds=(-e, e)` — passing `limit_effort` raw would pin any
     effort="0" joint to zero torque (cf. `rollout.clip_to_effort`,
     `solve_dynamic_adam`'s `respect_effort_limits`).
+
+    `diagnostics=True` returns `(ILQRResult, diag_dict)` where the dict
+    carries per-iteration internals for cross-backend divergence analysis
+    (tools/diagnose_ilqr.py; the round-3 verdict's 1.10 parity scalar):
+    `alpha_idx` [iters] int (accepted line-search argmin index),
+    `improved` [iters] bool, `lam` [iters] (LM lambda AFTER the update),
+    `ls_costs` [iters, n_alphas] (every candidate cost the argmin chose
+    between), `us_iter` [iters, H, m] (the control sequence after each
+    iteration), `k_norm` [iters] (feedforward gain magnitude).
     """
     H, m = us_init.shape
     n = x0.shape[0]
@@ -998,7 +1008,18 @@ def ilqr(
         # make the unregularized Newton step useless far from the optimum;
         # grow lam on rejection (-> gradient-like steps), shrink on success.
         lam = jnp.where(improved, jnp.maximum(lam * 0.5, reg), jnp.minimum(lam * 10.0, 1e8))
-        return (xs, us, new_cost, lam), new_cost
+        ys = new_cost
+        if diagnostics:
+            ys = (
+                new_cost,
+                best,
+                improved,
+                lam,
+                costs_c,
+                us,
+                jnp.sqrt(jnp.mean(ks * ks)),
+            )
+        return (xs, us, new_cost, lam), ys
 
     xs0 = _rollout(dynamics, x0, us_init)
     cost0 = _total_cost(cost, final_cost, xs0, us_init)
@@ -1010,6 +1031,19 @@ def ilqr(
     (xs, us, final, _), history = jax.lax.scan(
         iteration, (xs0, us_init, cost0, lam0), None, length=n_iters
     )
+    if diagnostics:
+        (costs_h, best_h, improved_h, lam_h, ls_costs_h, us_h, knorm_h) = history
+        result = ILQRResult(
+            xs, us, final, jnp.concatenate([cost0[None], costs_h])
+        )
+        return result, {
+            "alpha_idx": best_h,
+            "improved": improved_h,
+            "lam": lam_h,
+            "ls_costs": ls_costs_h,
+            "us_iter": us_h,
+            "k_norm": knorm_h,
+        }
     # history[0] is the cost *before* any iteration; history[i] after i iters.
     return ILQRResult(xs, us, final, jnp.concatenate([cost0[None], history]))
 
