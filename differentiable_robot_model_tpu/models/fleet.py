@@ -470,3 +470,68 @@ def solve_fleet_dynamic_adam(
     return jax.vmap(solve_one, in_axes=(0, 0, 0, 0, in_axes_init))(
         fleet, q0, qd0, goal_ee_pos, init_actions
     )
+
+
+def solve_fleet_dynamic_specialized(
+    structs: List[RobotStruct],
+    ee_link_idxs: List[int],
+    q0s,  # tuple/list of [B_r, D_r] per member
+    qd0s,  # same shapes as q0s
+    goals,  # tuple/list of [B_r, 3]
+    horizon: int,
+    dt: float = 0.02,
+    n_iters: int = 10,
+    lr: float = 0.5,
+    goal_weight: float = 10.0,
+    effort_weight: float = 1e-4,
+    eps: float = 1e-1,
+    use_damping: bool = True,
+    respect_effort_limits: bool = False,
+    rollout_impl: str = "scan",
+):
+    """Fleet fast path: R PER-MEMBER-SPECIALIZED solves in ONE jitted program.
+
+    The padded fleet (`solve_fleet_dynamic_adam`) trades per-member speed
+    for one-program-serves-any-topology: every member pays Dmax/Lmax padded
+    matmul dynamics, and the fused Pallas rollout kernel cannot serve it
+    (a vmapped kernel would pad each member's scenarios to a full lane tile
+    separately). This path takes the opposite trade for the case where the
+    fleet roster is KNOWN at trace time: a Python loop over members unrolls
+    into R single-robot `solve_dynamic_adam_batch` instances inside one
+    jitted program — each member gets its own struct-specialized dynamics
+    (and, with `rollout_impl="pallas"`, its own fused rollout kernel whose
+    scenario batch fills the lane tile), and XLA schedules the R solves in
+    one executable with no padding anywhere. R compiles amortize through
+    the persistent cache.
+
+    Inputs/outputs are per-member tuples in member order (shapes differ
+    across members, so there is no stacked-array form): returns a tuple of
+    `BatchTrajOptResult` with actions [B_r, H, D_r] (absolute applied
+    torques), exactly `solve_dynamic_adam_batch`'s contract per member.
+
+    Identical math to the single-robot solver by construction; parity with
+    the padded-fleet program is tested in tests/test_fleet.py. Use this for
+    throughput when the roster is static; use `solve_fleet_dynamic_adam`
+    when topology must be data (e.g. identification over fleet leaves or a
+    roster that changes per call). No reference analog at any level (the
+    reference cannot run two robots in one program at all —
+    robot_model.py:87 binds one URDF per module instance).
+    """
+    from ..trajopt.solvers import solve_dynamic_adam_batch
+
+    assert len(structs) == len(ee_link_idxs) == len(q0s) == len(qd0s) == len(goals)
+    results = []
+    for struct, ee_idx, q0, qd0, goal in zip(
+        structs, ee_link_idxs, q0s, qd0s, goals
+    ):
+        results.append(
+            solve_dynamic_adam_batch(
+                struct, q0, qd0, goal, ee_idx,
+                horizon=horizon, dt=dt, n_iters=n_iters, lr=lr,
+                goal_weight=goal_weight, effort_weight=effort_weight,
+                eps=eps, use_damping=use_damping,
+                respect_effort_limits=respect_effort_limits,
+                rollout_impl=rollout_impl,
+            )
+        )
+    return tuple(results)

@@ -162,6 +162,86 @@ def sharded_dynamic_mpc(
     return jax.jit(f)
 
 
+def sharded_mppi(
+    mesh: Mesh,
+    robot,
+    ee_link_idx: int,
+    horizon: int,
+    axis_name: str = SCENARIO_AXIS,
+    **solver_kwargs,
+):
+    """Mesh-sharded batched MPPI (the sampling solver's multi-chip form).
+
+    Returns `solve(q0 [B, D], qd0 [B, D], goals [B, 3], keys [B]) ->
+    (actions [B, H, D], cost [B])`. The per-scenario PRNG keys are an
+    ARGUMENT (pre-split at full B, sharded like the scenarios) rather than
+    split inside: `solve_dynamic_mppi_batch` splits one key by the local
+    batch size, which under sharding is B/n_devices — the same scenario
+    would then draw different noise on different mesh sizes, and
+    sharded-vs-unsharded equality (the gate this wrapper is tested by,
+    __graft_entry__.dryrun_multichip) would be unachievable by design.
+    Zero collectives; extra kwargs forward to `solve_dynamic_mppi`.
+    """
+    from jax import shard_map
+
+    from ..trajopt.solvers import solve_dynamic_mppi
+
+    def local_solve(q0, qd0, goals, keys):
+        def one(q0_b, qd0_b, goal_b, key_b):
+            res = solve_dynamic_mppi(
+                robot, q0_b, qd0_b, goal_b, ee_link_idx, horizon, key_b,
+                **solver_kwargs,
+            )
+            return res.actions, res.cost
+
+        return jax.vmap(one)(q0, qd0, goals, keys)
+
+    f = shard_map(
+        local_solve,
+        mesh=mesh,
+        in_specs=(P(axis_name),) * 4,
+        out_specs=(P(axis_name), P(axis_name)),
+    )
+    return jax.jit(f)
+
+
+def sharded_fleet_dynamic_mpc(
+    mesh: Mesh,
+    fleet,
+    horizon: int,
+    axis_name: str = SCENARIO_AXIS,
+    **solver_kwargs,
+):
+    """Mesh-sharded heterogeneous-fleet torque-space MPC: the padded fleet
+    program (models/fleet.solve_fleet_dynamic_adam) with its SCENARIO axis
+    sharded over the mesh and the fleet axis replicated.
+
+    Returns `solve(q0 [R, B, Dmax], qd0, goals [R, B, 3]) ->
+    (actions [R, B, H, Dmax], cost [R, B])`: each device solves all R
+    robots on its local B/n scenarios — fleet heterogeneity costs nothing
+    extra to shard because topology is data (every leaf of the fleet
+    pytree is a replicated array). Zero collectives; kwargs forward to
+    the fleet solver.
+    """
+    from jax import shard_map
+
+    from ..models.fleet import solve_fleet_dynamic_adam
+
+    def local_solve(q0, qd0, goals):
+        res = solve_fleet_dynamic_adam(
+            fleet, q0, qd0, goals, horizon=horizon, **solver_kwargs
+        )
+        return res.actions, res.cost
+
+    f = shard_map(
+        local_solve,
+        mesh=mesh,
+        in_specs=(P(None, axis_name),) * 3,
+        out_specs=(P(None, axis_name), P(None, axis_name)),
+    )
+    return jax.jit(f)
+
+
 def make_data_parallel_train_step(
     mesh: Mesh,
     loss_fn: Callable,  # loss_fn(params, batch) -> scalar

@@ -332,6 +332,60 @@ class TestFleetDynamicMPC:
             assert np.allclose(acts[r, :, Dn:], 0.0)
             assert np.all(np.abs(acts[r, :, :Dn]) <= emax[r, :Dn] + 1e-9)
 
+    def test_specialized_fleet_matches_padded_fleet(self, fleet_setup):
+        """The fast path (per-member-specialized solves unrolled in one
+        jitted program, models/fleet.solve_fleet_dynamic_specialized)
+        produces the same torques and cost histories as the padded
+        one-program-serves-any-topology fleet solve — the round-4
+        fleet-vs-scan parity gate. float64, scan rollout (the kernel is
+        TPU-only; kernel-vs-scan parity is tested on-chip in
+        tests/test_pallas_tpu.py)."""
+        from differentiable_robot_model_tpu.models.fleet import (
+            solve_fleet_dynamic_adam,
+            solve_fleet_dynamic_specialized,
+        )
+
+        models, structs, ees, fleet = fleet_setup
+        R = len(structs)
+        Dmax = fleet.damping.shape[-1]
+        B = 2
+        rng = np.random.default_rng(37)
+        q0 = np.zeros((R, B, Dmax))
+        for r, s in enumerate(structs):
+            q0[r, :, : s.n_dofs] = rng.uniform(-0.3, 0.3, (B, s.n_dofs))
+        goals = rng.uniform(0.2, 0.4, (R, B, 3))
+
+        kw = dict(horizon=5, dt=0.02, n_iters=4, lr=0.5, eps=1e-1)
+        res_pad = solve_fleet_dynamic_adam(
+            fleet, jnp.asarray(q0), jnp.zeros((R, B, Dmax)),
+            jnp.asarray(goals), **kw
+        )
+
+        ee_idxs = [s.link_index(e) for s, e in zip(structs, ees)]
+        q0_t = tuple(jnp.asarray(q0[r, :, : s.n_dofs])
+                     for r, s in enumerate(structs))
+        qd0_t = tuple(jnp.zeros_like(x) for x in q0_t)
+        goals_t = tuple(jnp.asarray(goals[r]) for r in range(R))
+        res_spec = jax.jit(
+            lambda qs, qds, gs: solve_fleet_dynamic_specialized(
+                structs, ee_idxs, qs, qds, gs, **kw
+            )
+        )(q0_t, qd0_t, goals_t)
+
+        for r, s in enumerate(structs):
+            Dn = s.n_dofs
+            assert np.allclose(
+                np.asarray(res_pad.actions[r, :, :, :Dn]),
+                np.asarray(res_spec[r].actions),
+                atol=1e-7,
+            ), r
+            assert np.allclose(np.asarray(res_pad.actions[r, :, :, Dn:]), 0.0)
+            assert np.allclose(
+                np.asarray(res_pad.cost_history[r]),
+                np.asarray(res_spec[r].cost_history).T,
+                rtol=1e-7,
+            ), r
+
     def test_dynamic_solve_scenario_batched_and_warm_start(self, fleet_setup):
         """The [R, B, Dmax] scenario-batched branch equals per-scenario
         solves of the [R, Dmax] form, and warm-starting from a previous

@@ -74,6 +74,50 @@ class TestMPC:
         assert np.allclose(np.asarray(sb.plan), np.asarray(sv.plan), atol=1e-5)
         assert np.allclose(np.asarray(mb.cost), np.asarray(mv.cost), rtol=1e-5)
 
+    def test_run_closed_loop_matches_manual_ticks(self, iiwa_struct):
+        """run_closed_loop (N ticks in one device program — the
+        dispatch-amortized deployment shape) equals manual tick-by-tick
+        stepping for the dynamic driver, stacks per-tick metrics, and
+        supports per-tick goals."""
+        from differentiable_robot_model_tpu.trajopt.mpc import (
+            DynamicMPCConfig,
+            dynamic_mpc_init,
+            make_dynamic_mpc_step,
+            run_closed_loop,
+        )
+
+        struct = iiwa_struct
+        ee = struct.link_index("iiwa_link_ee")
+        config = DynamicMPCConfig(horizon=6, iters_per_step=2)
+        step = make_dynamic_mpc_step(struct, ee, config)
+        state0 = dynamic_mpc_init(
+            struct, jnp.zeros(7, jnp.float32), jnp.zeros(7, jnp.float32),
+            config,
+        )
+        goal = jnp.asarray([0.4, 0.1, 0.7], jnp.float32)
+        n = 4
+        final, metrics = jax.jit(
+            lambda s: run_closed_loop(step, s, goal, n)
+        )(state0)
+        assert metrics.goal_distance.shape == (n,)
+
+        s_manual = state0
+        for _ in range(n):
+            s_manual, m_manual = step(s_manual, goal)
+        assert np.allclose(np.asarray(final.q), np.asarray(s_manual.q),
+                           atol=1e-6)
+        assert np.allclose(
+            float(metrics.goal_distance[-1]), float(m_manual.goal_distance),
+            atol=1e-6,
+        )
+
+        # moving setpoint: per-tick goals change the trajectory
+        goals_t = jnp.stack([goal + 0.02 * i for i in range(n)])
+        final2, metrics2 = jax.jit(
+            lambda s: run_closed_loop(step, s, goals_t, n, per_tick_goal=True)
+        )(state0)
+        assert not np.allclose(np.asarray(final2.q), np.asarray(final.q))
+
     def test_dynamic_mpc_closed_loop(self, iiwa_struct):
         """Closed-loop torque-space MPC: warm-started replans through the
         true forward dynamics close most of the goal distance."""

@@ -310,3 +310,78 @@ def test_sharded_dynamic_mpc_forwards_solver_kwargs(mesh, iiwa):
     assert np.allclose(np.asarray(cost_sh), np.asarray(res.cost), rtol=1e-6)
     assert np.all(np.abs(np.asarray(acts_sh)) <= box + 1e-5)
     assert len(acts_sh.sharding.device_set) == 8
+
+
+def test_sharded_mppi_matches_unsharded(mesh, iiwa):
+    """sharded_mppi with pre-split per-scenario keys equals the unsharded
+    vmapped sampling solve EXACTLY (same keys => same noise => same
+    weighted updates, independent of the mesh size)."""
+    from differentiable_robot_model_tpu.parallel.mesh import (
+        shard_scenarios,
+        sharded_mppi,
+    )
+    from differentiable_robot_model_tpu.trajopt.solvers import (
+        solve_dynamic_mppi,
+    )
+
+    struct = iiwa.struct
+    ee = struct.link_index("iiwa_link_ee")
+    B = 8
+    rng = np.random.default_rng(11)
+    q0 = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 7)), jnp.float32)
+    qd0 = jnp.zeros((B, 7), jnp.float32)
+    goal = jnp.asarray(rng.uniform(0.2, 0.4, (B, 3)), jnp.float32)
+    keys = jax.random.split(jax.random.key(7), B)
+
+    solver = sharded_mppi(mesh, struct, ee, horizon=4, n_samples=8, n_iters=2)
+    acts_sh, cost_sh = solver(*shard_scenarios(mesh, (q0, qd0, goal, keys)))
+
+    def one(a, b, g, k):
+        r = solve_dynamic_mppi(struct, a, b, g, ee, 4, k, n_samples=8,
+                               n_iters=2)
+        return r.actions, r.cost
+
+    acts_ref, cost_ref = jax.vmap(one)(q0, qd0, goal, keys)
+    # same keys => same noise; the residual is reduction reassociation
+    # (the softmax weighted average over the sample axis compiles
+    # differently at local batch B/8 vs B) — measured ~5e-7 f32 roundoff
+    assert np.allclose(np.asarray(acts_sh), np.asarray(acts_ref), atol=1e-5)
+    assert np.allclose(np.asarray(cost_sh), np.asarray(cost_ref), rtol=1e-5)
+    assert len(acts_sh.sharding.device_set) == 8
+
+
+def test_sharded_fleet_dynamic_mpc_matches_unsharded(mesh):
+    """The padded-fleet torque-space MPC with its scenario axis sharded
+    over the mesh (fleet axis replicated) equals the unsharded fleet
+    program."""
+    from differentiable_robot_model_tpu import DifferentiableTwoLinkRobot
+    from differentiable_robot_model_tpu.models.fleet import (
+        build_fleet,
+        solve_fleet_dynamic_adam,
+    )
+    from differentiable_robot_model_tpu.parallel.mesh import (
+        sharded_fleet_dynamic_mpc,
+    )
+
+    structs = [
+        DifferentiableTwoLinkRobot().struct,
+        DifferentiableKUKAiiwa().struct,
+    ]
+    fleet = build_fleet(structs, ["endEffector", "iiwa_link_ee"])
+    R, Dmax = 2, fleet.damping.shape[-1]
+    B = 8
+    rng = np.random.default_rng(13)
+    q0 = np.zeros((R, B, Dmax), np.float32)
+    for r, s in enumerate(structs):
+        q0[r, :, : s.n_dofs] = rng.uniform(-0.3, 0.3, (B, s.n_dofs))
+    q0 = jnp.asarray(q0)
+    qd0 = jnp.zeros_like(q0)
+    goals = jnp.asarray(rng.uniform(0.2, 0.4, (R, B, 3)), jnp.float32)
+
+    kw = dict(n_iters=3, lr=0.5, eps=1e-1)
+    solver = sharded_fleet_dynamic_mpc(mesh, fleet, horizon=4, **kw)
+    acts_sh, cost_sh = solver(q0, qd0, goals)
+    ref = solve_fleet_dynamic_adam(fleet, q0, qd0, goals, horizon=4, **kw)
+    assert np.allclose(np.asarray(acts_sh), np.asarray(ref.actions), atol=1e-7)
+    assert np.allclose(np.asarray(cost_sh), np.asarray(ref.cost), rtol=1e-6)
+    assert len(acts_sh.sharding.device_set) == 8
