@@ -106,6 +106,34 @@ def main():
         "solves_per_s": round(R * B / res.best_s, 1),
     })
 
+    # --- fleet fast path: per-member kernel specialization --------------
+    # R single-robot solver instances (each on its own fused Pallas rollout
+    # kernel on TPU) unrolled inside ONE jitted program — the round-3
+    # verdict's untried design. Same scenarios, unpadded per-member shapes.
+    from differentiable_robot_model_tpu.models.fleet import (
+        solve_fleet_dynamic_specialized,
+    )
+
+    ee_idxs = [s.link_index(ee) for s, (_, ee) in zip(structs, members)]
+    q0_t = tuple(q0[r, :, : s.n_dofs] for r, s in enumerate(structs))
+    qd0_t = tuple(jnp.zeros_like(x) for x in q0_t)
+    goals_t = tuple(goals[r] for r in range(R))
+    impl = "pallas" if jax.default_backend() == "tpu" else "scan"
+    spec = jax.jit(lambda qs, qds, gs: tuple(
+        r.actions for r in solve_fleet_dynamic_specialized(
+            structs, ee_idxs, qs, qds, gs,
+            horizon=args.H, n_iters=args.iters, lr=0.5, eps=1e-1,
+            rollout_impl=impl,
+        )
+    ))
+    res = benchmark(spec, q0_t, qd0_t, goals_t, iters=3, warmup=1, windows=3)
+    emit({
+        "workload": "fleet_dynamic_mpc_specialized",
+        "rollout_impl": impl,
+        "solve_batch_ms": round(res.best_s * 1e3, 2),
+        "solves_per_s": round(R * B / res.best_s, 1),
+    })
+
     # --- identification THROUGH the fleet MPC solve -------------------
     # The TRUE fleet's solver produces expert plans for a grid of start
     # states and goals; a fleet whose iiwa link-2 z translation is off by
@@ -147,9 +175,35 @@ def main():
     import time as _time
 
     t0 = _time.perf_counter()
-    best_err = 0.05
+    # Early-stop on the OBSERVABLE (plan_match_loss), keep the best-loss
+    # iterate: the round-3 curve hit 1.1e-4 m at step 7 and then Adam
+    # momentum dragged it back to 9.2e-3 m by step 19, and the summary
+    # reported the degraded last-step value (verdict item 5 / advisor
+    # finding). plan_match_loss is what a user can see without the true
+    # parameter, so stopping on it (2 consecutive non-improving steps) is
+    # deployable, and the returned parameter is the best-loss one. After
+    # the stop the parameter is HELD so the convergence is sustained, not
+    # a lucky snapshot.
+    best_loss, best_delta, stall = float("inf"), delta, 0
     for step in range(args.ident_steps):
         loss, g = ident_grad(delta)
+        loss = float(loss)
+        if loss < best_loss:
+            best_loss, best_delta, stall = loss, delta, 0
+        else:
+            stall += 1
+        stopped = stall >= 2
+        if stopped:
+            delta = best_delta  # hold the best-loss iterate
+        emit({
+            "workload": "fleet_identification",
+            "step": step,
+            "plan_match_loss": round(loss, 8),
+            "param_error_m": round(abs(float(delta)), 6),
+            "held_at_best": stopped,
+        })
+        if stopped:
+            continue
         m = b1 * m + (1 - b1) * float(g)
         v = b2 * v + (1 - b2) * float(g) ** 2
         mh = m / (1 - b1 ** (step + 1))
@@ -157,19 +211,15 @@ def main():
         # geometric step decay damps the Adam momentum overshoot once the
         # 1-D parameter crosses its optimum
         delta = delta - lr_id * (0.9 ** step) * mh / (vh ** 0.5 + 1e-8)
-        best_err = min(best_err, abs(float(delta)))
-        emit({
-            "workload": "fleet_identification",
-            "step": step,
-            "plan_match_loss": round(float(loss), 8),
-            "param_error_m": round(abs(float(delta)), 6),
-        })
+    final_err = abs(float(best_delta if stall >= 2 else delta))
     emit({
         "workload": "fleet_identification_summary",
         "steps": args.ident_steps,
         "initial_param_error_m": 0.05,
-        "final_param_error_m": round(abs(float(delta)), 6),
-        "best_param_error_m": round(best_err, 6),
+        # primary convergence number: the parameter at the best observed
+        # plan-match loss (held from the early stop onward)
+        "final_param_error_m": round(final_err, 6),
+        "best_loss": round(best_loss, 8),
         "wall_s": round(_time.perf_counter() - t0, 2),
     })
 

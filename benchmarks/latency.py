@@ -15,12 +15,18 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def measure(step_fn, args, reps=50):
-    """Pipelined mean step time via the canonical timer (warmup=1 pays the
-    compile outside timing)."""
+def measure(step_fn, args, reps=50, windows=5):
+    """Pipelined BEST-of-windows step time (warmup=1 pays the compile
+    outside timing). Round 3 used a single window's mean, and inter-window
+    tunnel jitter (~0.4-0.7 ms) produced a non-monotone latency table —
+    H=50/10-iters recorded FASTER than H=20/3-iters (verdict item 7).
+    Best-of-5 windows is the repo's recorded-number methodology
+    (utils/profiling.benchmark); the mean is returned alongside so jitter
+    stays visible in the artifact."""
     from differentiable_robot_model_tpu.utils.profiling import benchmark
 
-    return benchmark(step_fn, *args, iters=reps, warmup=1).mean_s
+    res = benchmark(step_fn, *args, iters=reps, warmup=1, windows=windows)
+    return res.best_s, res.mean_s
 
 
 def main():
@@ -39,11 +45,28 @@ def main():
     goal = jnp.asarray([0.4, 0.1, 0.7], jnp.float32)
 
     print(json.dumps({"backend": jax.default_backend()}))
+
+    # Dispatch floor: the smallest possible jitted program under the SAME
+    # pipelined methodology. Every B=1 row below contains at least this
+    # per-call cost; on the tunneled dev chip it is the bulk of a B=1
+    # replan (the round-3 ~2.8 ms floor). The closed-loop scan rows below
+    # measure the complement: per-tick cost with dispatch amortized away.
+    null_fn = jax.jit(lambda x: x + 1.0)
+    nb, nm = measure(null_fn, (jnp.zeros((8,), jnp.float32),), reps=100)
+    print(json.dumps({
+        "workload": "null_program_dispatch",
+        "per_call_ms_best": round(nb * 1e3, 4),
+        "per_call_ms_mean": round(nm * 1e3, 4),
+    }))
+
+    from differentiable_robot_model_tpu.trajopt.mpc import run_closed_loop
+
     for horizon, iters in [(50, 10), (50, 3), (20, 3), (10, 2)]:
         config = MPCConfig(horizon=horizon, iters_per_step=iters)
-        step = jax.jit(make_mpc_step(struct, ee, config))
+        step_raw = make_mpc_step(struct, ee, config)
+        step = jax.jit(step_raw)
         state = mpc_init(struct, jnp.zeros(7, jnp.float32), config)
-        dt = measure(step, (state, goal))
+        dt, dt_mean = measure(step, (state, goal))
         # batched fleet replanning at B=4096 (dof-major batched solver with
         # the fused Pallas FK kernels; scalar XLA path off-TPU)
         from differentiable_robot_model_tpu.trajopt.mpc import make_mpc_step_batch
@@ -55,7 +78,13 @@ def main():
             jnp.zeros((B, 7), jnp.float32)
         )
         goals = jnp.tile(goal[None], (B, 1))
-        dtB = measure(stepB, (states, goals), reps=10)
+        dtB, _ = measure(stepB, (states, goals), reps=10)
+        # on-chip projection: 50 warm-started ticks in ONE dispatch
+        n_ticks = 50
+        loop = jax.jit(
+            lambda s, nt=n_ticks, fn=step_raw: run_closed_loop(fn, s, goal, nt)
+        )
+        lt, _ = measure(loop, (state,), reps=3)
         print(
             json.dumps(
                 {
@@ -63,6 +92,9 @@ def main():
                     "iters": iters,
                     "replan_latency_ms_B1": round(dt * 1e3, 3),
                     "replan_rate_hz_B1": round(1.0 / dt, 1),
+                    "replan_latency_ms_B1_mean": round(dt_mean * 1e3, 3),
+                    "onchip_per_tick_ms_B1": round(lt / n_ticks * 1e3, 3),
+                    "onchip_tick_rate_hz_B1": round(n_ticks / lt, 1),
                     "replan_latency_ms_B4096": round(dtB * 1e3, 3),
                     "replans_per_s_B4096": round(B / dtB, 1),
                 }
@@ -81,12 +113,13 @@ def main():
 
     for horizon, iters in [(50, 10), (20, 3)]:
         dconfig = DynamicMPCConfig(horizon=horizon, iters_per_step=iters)
-        dstep = jax.jit(make_dynamic_mpc_step(struct, ee, dconfig))
+        dstep_raw = make_dynamic_mpc_step(struct, ee, dconfig)
+        dstep = jax.jit(dstep_raw)
         dstate = dynamic_mpc_init(
             struct, jnp.zeros(7, jnp.float32), jnp.zeros(7, jnp.float32),
             dconfig,
         )
-        ddt = measure(dstep, (dstate, goal), reps=20)
+        ddt, _ = measure(dstep, (dstate, goal), reps=20)
 
         # closed-loop quality at this budget: cost + goal distance after 10
         # warm-started ticks (goal_distance is the driver-agnostic scalar —
@@ -98,8 +131,15 @@ def main():
             c, d = jax.lax.scan(body, s0, None, length=10)[1]
             return c[-1], d[-1]
 
-        c10, d10 = jax.jit(lambda s: _roll10(s, dstep))(dstate)
+        c10, d10 = jax.jit(lambda s: _roll10(s, dstep_raw))(dstate)
         dyn_b1[(horizon, iters)] = (ddt, float(c10), float(d10))
+        # on-chip projection: 50 ticks in one dispatch (run_closed_loop) —
+        # the dispatch-floor complement the round-3 verdict asked for
+        n_ticks = 50
+        dloop = jax.jit(
+            lambda s, fn=dstep_raw, nt=n_ticks: run_closed_loop(fn, s, goal, nt)
+        )
+        dlt, _ = measure(dloop, (dstate,), reps=3)
         B = 1024
         dstepB = jax.jit(make_dynamic_mpc_step_batch(struct, ee, dconfig))
         dstatesB = jax.vmap(
@@ -107,7 +147,7 @@ def main():
                                        dconfig)
         )(jnp.zeros((B, 7), jnp.float32))
         goalsB = jnp.tile(goal[None], (B, 1))
-        ddtB = measure(dstepB, (dstatesB, goalsB), reps=5)
+        ddtB, _ = measure(dstepB, (dstatesB, goalsB), reps=5)
         print(
             json.dumps(
                 {
@@ -116,6 +156,8 @@ def main():
                     "iters": iters,
                     "replan_latency_ms_B1": round(ddt * 1e3, 3),
                     "replan_rate_hz_B1": round(1.0 / ddt, 1),
+                    "onchip_per_tick_ms_B1": round(dlt / n_ticks * 1e3, 3),
+                    "onchip_tick_rate_hz_B1": round(n_ticks / dlt, 1),
                     "replan_latency_ms_B1024": round(ddtB * 1e3, 3),
                     "replans_per_s_B1024": round(B / ddtB, 1),
                     "closed_loop_cost_10_ticks_B1": round(dyn_b1[(horizon, iters)][1], 4),
@@ -139,21 +181,27 @@ def main():
 
     for horizon, iters in [(50, 5), (20, 5), (20, 3)]:
         iconfig = ILQRMPCConfig(horizon=horizon, iters_per_step=iters)
-        istep = jax.jit(make_ilqr_mpc_step(struct, ee, iconfig))
+        istep_raw = make_ilqr_mpc_step(struct, ee, iconfig)
+        istep = jax.jit(istep_raw)
         istate = ilqr_mpc_init(
             struct, jnp.zeros(7, jnp.float32), jnp.zeros(7, jnp.float32),
             iconfig,
         )
-        idt = measure(istep, (istate, goal), reps=20)
+        idt, _ = measure(istep, (istate, goal), reps=20)
 
         def _iroll10(s0):
             def body(s, _):
-                s, m = istep(s, goal)
+                s, m = istep_raw(s, goal)
                 return s, (m.cost, m.goal_distance)
             c, d = jax.lax.scan(body, s0, None, length=10)[1]
             return c[-1], d[-1]
 
         ic10, id10 = jax.jit(_iroll10)(istate)
+        n_ticks = 20
+        iloop = jax.jit(
+            lambda s, fn=istep_raw, nt=n_ticks: run_closed_loop(fn, s, goal, nt)
+        )
+        ilt, _ = measure(iloop, (istate,), reps=3)
         print(
             json.dumps(
                 {
@@ -162,6 +210,8 @@ def main():
                     "iters": iters,
                     "replan_latency_ms_B1": round(idt * 1e3, 3),
                     "replan_rate_hz_B1": round(1.0 / idt, 1),
+                    "onchip_per_tick_ms_B1": round(ilt / n_ticks * 1e3, 3),
+                    "onchip_tick_rate_hz_B1": round(n_ticks / ilt, 1),
                     "closed_loop_cost_10_ticks_B1": round(float(ic10), 4),
                     "goal_distance_10_ticks_B1": round(float(id10), 4),
                 }

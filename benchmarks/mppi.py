@@ -117,9 +117,14 @@ def main():
     # Each MPPI iteration is one fused-rollout launch whose H integration
     # steps are SEQUENTIAL (in-kernel latency, not throughput); n_iters=0
     # isolates dispatch + setup + the final nominal-cost rollout. The
-    # per-iteration slope over n_iters and its division by H give the
-    # per-FD-step latency — the measured floor under the >=500 Hz target.
-    iter_grid = (0, 1, 2, 5, 10)
+    # per-iteration cost is a LEAST-SQUARES slope over the whole n_iters
+    # grid, extended until the signal (total slope * grid span) exceeds the
+    # inter-window jitter — the round-3 two-point fit (ms[10]-ms[1])/9 put
+    # ~0.15 ms of signal under ~0.5 ms of jitter and emitted physically
+    # negative per-iteration latencies (advisor finding, MPPI_r03.json).
+    # When even the extended grid leaves the slope within noise, the fit is
+    # FLAGGED rather than reported as a measured floor.
+    iter_grid = (0, 1, 2, 5, 10, 20, 50, 100)
     for Hf in (20, 50):
         ms = {}
         for ni in iter_grid:
@@ -135,13 +140,29 @@ def main():
                 "n_iters": ni, "replan_ms": round(ms[ni], 3),
                 "replan_hz": round(1e3 / ms[ni], 1),
             })
-        slope = (ms[10] - ms[1]) / 9.0
-        emit({
+        # least-squares y = a + b*n over the n_iters >= 1 rows (n=0 is a
+        # different program shape: no solver scan at all)
+        xs = np.asarray([n for n in iter_grid if n >= 1], np.float64)
+        ys = np.asarray([ms[n] for n in iter_grid if n >= 1], np.float64)
+        A = np.stack([np.ones_like(xs), xs], axis=1)
+        (a_fit, b_fit), res_ss, _, _ = np.linalg.lstsq(A, ys, rcond=None)
+        dof = max(1, len(xs) - 2)
+        resid_std = float(np.sqrt(res_ss[0] / dof)) if res_ss.size else 0.0
+        # stderr of the slope under iid residuals
+        sxx = float(np.sum((xs - xs.mean()) ** 2))
+        b_stderr = resid_std / np.sqrt(sxx) if sxx > 0 else float("inf")
+        within_noise = bool(b_fit <= 2.0 * b_stderr)
+        fit = {
             "regime": "replan_floor_fit", "H": Hf, "n_samples": 128,
             "dispatch_setup_final_ms": round(ms[0], 3),
-            "per_iteration_ms": round(slope, 4),
-            "per_fd_step_us": round(1e3 * slope / Hf, 2),
-        })
+            "fit_intercept_ms": round(float(a_fit), 3),
+            "per_iteration_ms": round(float(b_fit), 4),
+            "per_iteration_ms_stderr": round(float(b_stderr), 4),
+            "slope_within_noise": within_noise,
+        }
+        if not within_noise:
+            fit["per_fd_step_us"] = round(1e3 * float(b_fit) / Hf, 2)
+        emit(fit)
 
     if args.out:
         with open(args.out, "w") as f:

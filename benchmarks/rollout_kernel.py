@@ -15,7 +15,9 @@ Usage: python benchmarks/rollout_kernel.py [--out FILE]
 import argparse
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -25,6 +27,58 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 H = 50
 DT = 0.02
 BATCHES = (1, 1024, 4096, 65536)
+# The f64 truth arbiter slices each batch to this many lanes: every lane of
+# the dof-major rollout is numerically independent (scalar dynamics, no
+# cross-batch contractions), so a slice is exact for the lanes it keeps and
+# the CPU-x64 reference stays affordable at B=65536.
+ARBITER_LANES = 256
+
+
+def f64_ref_main(in_path: str, out_path: str) -> None:
+    """Subprocess entry: the scan-path VJP in float64 on CPU — the truth
+    arbiter for the kernel-vs-scan gradient gap (round-3 verdict item 8)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/drm_tpu_jax_cache")
+    import jax.numpy as jnp
+
+    import differentiable_robot_model_tpu as drm
+    from differentiable_robot_model_tpu.trajopt.rollout import (
+        dynamic_rollout_dof_major,
+    )
+
+    s = drm.DifferentiableKUKAiiwa(dtype=jnp.float64).struct
+    data = np.load(in_path)
+    q0 = jnp.asarray(data["q0"], jnp.float64)
+    qd0 = jnp.asarray(data["qd0"], jnp.float64)
+    tau = jnp.asarray(data["tau"], jnp.float64)
+    g = jax.jit(
+        jax.grad(
+            lambda t, a, b: jnp.sum(
+                jnp.sin(dynamic_rollout_dof_major(s, a, b, t, DT)[0])
+            )
+        )
+    )(tau, q0, qd0)
+    np.savez(out_path, grad=np.asarray(g, np.float64))
+
+
+def _run_f64_ref(q0, qd0, tau):
+    tmp = tempfile.mkdtemp(prefix="drm_rollout_f64_")
+    in_path = os.path.join(tmp, "in.npz")
+    out_path = os.path.join(tmp, "out.npz")
+    np.savez(in_path, q0=q0, qd0=qd0, tau=tau)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_disable_hlo_passes" not in flags:
+        env["XLA_FLAGS"] = (flags + " --xla_disable_hlo_passes=fusion").strip()
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--f64-ref", in_path, out_path],
+        check=True, env=env,
+    )
+    return np.load(out_path)["grad"]
 
 
 def main(out_path=None):
@@ -126,6 +180,26 @@ def main(out_path=None):
             "max_abs_grad_err": gerr,
             "max_rel_grad_err": gerr / gscale,
         }
+        # f64 truth arbiter (round-3 verdict item 8): which f32 gradient —
+        # kernel or scan — is closer to the float64 scan run on the SAME
+        # lanes? Lanes are numerically independent, so slicing is exact.
+        nl = min(B, ARBITER_LANES)
+        try:
+            g64 = _run_f64_ref(
+                np.asarray(q0[:, :nl], np.float64),
+                np.asarray(qd0[:, :nl], np.float64),
+                np.asarray(tau[:, :, :nl], np.float64),
+            )
+            g64s = max(1.0, float(np.max(np.abs(g64))))
+            row["arbiter_lanes"] = nl
+            row["kernel_vs_f64_max_rel_err"] = float(
+                np.max(np.abs(np.asarray(gk[:, :, :nl], np.float64) - g64))
+            ) / g64s
+            row["scan_vs_f64_max_rel_err"] = float(
+                np.max(np.abs(np.asarray(gr[:, :, :nl], np.float64) - g64))
+            ) / g64s
+        except Exception as e:  # arbiter is advisory; keep the perf row
+            row["arbiter_error"] = repr(e)
         _roofline(row, tk, flops=ca["flops"] if ca else 0, hbm_bytes=0,
                   io_bytes=_io_bytes((tau, q0, qd0), [gk]))
         rows.append(row)
@@ -139,6 +213,9 @@ def main(out_path=None):
 
 
 if __name__ == "__main__":
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=None)
-    main(ap.parse_args().out)
+    if len(sys.argv) == 4 and sys.argv[1] == "--f64-ref":
+        f64_ref_main(sys.argv[2], sys.argv[3])
+    else:
+        ap = argparse.ArgumentParser()
+        ap.add_argument("--out", default=None)
+        main(ap.parse_args().out)
