@@ -349,7 +349,20 @@ def _ee_fk_folded(robot: RobotStruct, c: dict, q, ee_link_idx: int):
             R = F
         pw = f.v_add(pw, f.rot(Rw, t))
         Rw = f.mat3(Rw, R)
-    return pw
+    # A planar robot (e.g. the 2-link) folds one or more WORLD coordinates
+    # to a trace-time constant — the folding helpers collapse them because
+    # no joint on the chain moves that axis. Materialize constants to lane
+    # tiles: the kernel stores pe[j] into (SUB, LANE) slots, and the
+    # backward kernel's jax.vjp receives tile-shaped cotangents for every
+    # pe component, so a scalar here is a shape error in both directions
+    # (found by the round-4 fleet fast path, the first non-iiwa user of
+    # the EE-fused kernel).
+    zero = 0.0 * q[0]
+
+    def tile(p):
+        return p if getattr(p, "shape", None) == zero.shape else p + zero
+
+    return tuple(tile(p) for p in pw)
 
 
 # ---------------------------------------------------------------------------
