@@ -340,6 +340,41 @@ def make_dynamic_mpc_step_batch(
     return step
 
 
+def make_fleet_dynamic_mpc_step_specialized(
+    structs, ee_link_idxs, config: DynamicMPCConfig | list
+):
+    """Closed-loop heterogeneous-fleet MPC on the FAST path: one step
+    function whose single trace replans EVERY member of a static roster —
+    R per-member-specialized `make_dynamic_mpc_step_batch` instances (each
+    on its own fused rollout kernel on TPU) composed in one program, the
+    closed-loop counterpart of `models.fleet.solve_fleet_dynamic_specialized`.
+
+    `(states, goals) -> (states', metrics)` where `states` is a tuple of
+    per-member batched `DynamicMPCState` pytrees (shapes [B_r, ...] may
+    differ per member) and `goals` a tuple of [B_r, 3]. `config` may be
+    one shared `DynamicMPCConfig` or a per-member list (members may run
+    different horizons/budgets — impossible in the padded fleet program,
+    free here). Composes with `run_closed_loop` (tuples are pytrees), so a
+    whole mixed fleet's control loop can run N ticks in one dispatch.
+    No reference analog (reference binds one URDF per module instance,
+    robot_model.py:87)."""
+    configs = (
+        config if isinstance(config, (list, tuple))
+        else [config] * len(structs)
+    )
+    assert len(structs) == len(ee_link_idxs) == len(configs)
+    steps = [
+        make_dynamic_mpc_step_batch(s, e, c)
+        for s, e, c in zip(structs, ee_link_idxs, configs)
+    ]
+
+    def step(states, goals):
+        outs = [fn(st, g) for fn, st, g in zip(steps, states, goals)]
+        return tuple(o[0] for o in outs), tuple(o[1] for o in outs)
+
+    return step
+
+
 def run_closed_loop(
     step_fn, state0, goal, n_steps: int, per_tick_goal: bool = False
 ):
@@ -359,11 +394,13 @@ def run_closed_loop(
     honest measurement — benchmarks/latency.py reports both.
 
     Returns (final_state, stacked metrics [n_steps, ...]). With
-    `per_tick_goal=True`, `goal` is a [n_steps, ...] array of per-tick
-    targets (a moving setpoint); otherwise one goal is shared by every
-    tick. Jit the result; vmap over scenario batches as usual.
+    `per_tick_goal=True`, `goal` is a [n_steps, ...] pytree of per-tick
+    targets (a moving setpoint; scan slices every leaf's leading axis);
+    otherwise one goal is shared by every tick. `goal` may be any pytree
+    the step accepts — e.g. the per-member goal tuple of
+    `make_fleet_dynamic_mpc_step_specialized`. Jit the result; vmap over
+    scenario batches as usual.
     """
-    goal = jnp.asarray(goal)
 
     def body(state, g):
         state, metrics = step_fn(state, goal if g is None else g)

@@ -118,6 +118,64 @@ class TestMPC:
         )(state0)
         assert not np.allclose(np.asarray(final2.q), np.asarray(final.q))
 
+    def test_fleet_specialized_closed_loop(self, iiwa_struct):
+        """The specialized fleet MPC step (per-member solver instances in
+        one trace) equals per-member make_dynamic_mpc_step_batch calls,
+        supports per-member configs, and composes with run_closed_loop."""
+        from differentiable_robot_model_tpu import DifferentiableTwoLinkRobot
+        from differentiable_robot_model_tpu.trajopt.mpc import (
+            DynamicMPCConfig,
+            dynamic_mpc_init,
+            make_dynamic_mpc_step_batch,
+            make_fleet_dynamic_mpc_step_specialized,
+            run_closed_loop,
+        )
+
+        two = DifferentiableTwoLinkRobot().struct
+        structs = [two, iiwa_struct]
+        ees = [two.link_index("endEffector"),
+               iiwa_struct.link_index("iiwa_link_ee")]
+        # per-member budgets: different horizons per member in one program
+        configs = [
+            DynamicMPCConfig(horizon=5, iters_per_step=2),
+            DynamicMPCConfig(horizon=7, iters_per_step=3),
+        ]
+        B = 3
+        rng = np.random.default_rng(17)
+        states = tuple(
+            jax.vmap(
+                lambda q, s=s, c=c: dynamic_mpc_init(
+                    s, q, jnp.zeros(s.n_dofs, jnp.float32), c
+                )
+            )(jnp.asarray(rng.uniform(-0.3, 0.3, (B, s.n_dofs)), jnp.float32))
+            for s, c in zip(structs, configs)
+        )
+        goals = tuple(
+            jnp.asarray(rng.uniform(0.2, 0.4, (B, 3)), jnp.float32)
+            for _ in structs
+        )
+
+        fstep = make_fleet_dynamic_mpc_step_specialized(structs, ees, configs)
+        new_states, metrics = jax.jit(fstep)(states, goals)
+        for r, (s, e, c) in enumerate(zip(structs, ees, configs)):
+            ref_step = make_dynamic_mpc_step_batch(s, e, c)
+            ref_states, ref_metrics = ref_step(states[r], goals[r])
+            assert np.allclose(
+                np.asarray(new_states[r].q), np.asarray(ref_states.q),
+                atol=1e-6,
+            ), r
+            assert np.allclose(
+                np.asarray(metrics[r].cost), np.asarray(ref_metrics.cost),
+                rtol=1e-6,
+            ), r
+
+        # whole-fleet closed loop: N ticks in one program
+        final, hist = jax.jit(
+            lambda s: run_closed_loop(fstep, s, goals, 3)
+        )(states)
+        assert hist[0].goal_distance.shape == (3, B)
+        assert np.all(np.isfinite(np.asarray(hist[1].goal_distance)))
+
     def test_dynamic_mpc_closed_loop(self, iiwa_struct):
         """Closed-loop torque-space MPC: warm-started replans through the
         true forward dynamics close most of the goal distance."""
