@@ -78,3 +78,16 @@ def test_torque_mpc_example():
     d_mppi = ex.run(n_steps=8, solver="mppi", horizon=10)
     assert d_mppi[-1] < d_mppi[0]
     assert np.all(np.isfinite(d_adam)) and np.all(np.isfinite(d_mppi))
+
+
+def test_fleet_mpc_example():
+    """The heterogeneous-fleet closed-loop MPC example (one device program
+    for the whole fleet's N-tick loop) improves every member's mean goal
+    distance."""
+    from examples import run_fleet_mpc as ex
+
+    out = ex.run(n_steps=6, batch=2)
+    assert len(out) == 2
+    for name, d in out.items():
+        assert np.all(np.isfinite(d)), name
+        assert d[-1] < d[0], (name, d)
