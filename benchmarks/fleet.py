@@ -95,6 +95,29 @@ def main():
         "solves_per_s": round(R * B / res.best_s, 1),
     })
 
+    # kinematic fast path: per-member specialized solves, one program
+    from differentiable_robot_model_tpu.models.fleet import (
+        solve_fleet_kinematic_specialized,
+    )
+
+    ee_idxs_k = [s.link_index(ee) for s, (_, ee) in zip(structs, members)]
+    q0_tk = tuple(q0[r, :, : s.n_dofs] for r, s in enumerate(structs))
+    goals_tk = tuple(goals[r] for r in range(R))
+    fk = "pallas" if jax.default_backend() == "tpu" else "scalar"
+    kin_spec = jax.jit(lambda qs, gs: tuple(
+        r.actions for r in solve_fleet_kinematic_specialized(
+            structs, ee_idxs_k, qs, gs,
+            horizon=args.H, n_iters=args.iters, lr=0.02, eps=1e-3, fk_impl=fk,
+        )
+    ))
+    res = benchmark(kin_spec, q0_tk, goals_tk, iters=5, warmup=1, windows=3)
+    emit({
+        "workload": "fleet_kinematic_mpc_specialized",
+        "fk_impl": fk,
+        "solve_batch_ms": round(res.best_s * 1e3, 2),
+        "solves_per_s": round(R * B / res.best_s, 1),
+    })
+
     dyn = jax.jit(lambda q, qd, g: solve_fleet_dynamic_adam(
         fleet, q, qd, g, horizon=args.H, n_iters=args.iters, lr=0.5,
         eps=1e-1,

@@ -472,6 +472,37 @@ def solve_fleet_dynamic_adam(
     )
 
 
+def solve_fleet_kinematic_specialized(
+    structs: List[RobotStruct],
+    ee_link_idxs: List[int],
+    q0s,  # tuple/list of [B_r, D_r] per member
+    goals,  # tuple/list of [B_r, 3]
+    horizon: int,
+    n_iters: int = 100,
+    lr: float = 1e-2,
+    goal_weight: float = 100.0,
+    fk_impl: str = "scalar",
+    eps: float = 1e-8,
+):
+    """Kinematic twin of `solve_fleet_dynamic_specialized`: R per-member
+    `solve_kinematic_adam_batch` instances (fused Pallas chain-FK kernels
+    per member with `fk_impl="pallas"` on TPU) unrolled in ONE jitted
+    program — the static-roster fast path; the padded
+    `solve_fleet_kinematic_adam` remains the topology-as-data form.
+    Returns a tuple of `BatchTrajOptResult` in member order."""
+    from ..trajopt.solvers import solve_kinematic_adam_batch
+
+    assert len(structs) == len(ee_link_idxs) == len(q0s) == len(goals)
+    return tuple(
+        solve_kinematic_adam_batch(
+            struct, q0, goal, ee_idx,
+            horizon=horizon, n_iters=n_iters, lr=lr,
+            goal_weight=goal_weight, fk_impl=fk_impl, eps=eps,
+        )
+        for struct, ee_idx, q0, goal in zip(structs, ee_link_idxs, q0s, goals)
+    )
+
+
 def solve_fleet_dynamic_specialized(
     structs: List[RobotStruct],
     ee_link_idxs: List[int],

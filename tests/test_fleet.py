@@ -332,6 +332,51 @@ class TestFleetDynamicMPC:
             assert np.allclose(acts[r, :, Dn:], 0.0)
             assert np.all(np.abs(acts[r, :, :Dn]) <= emax[r, :Dn] + 1e-9)
 
+    def test_specialized_kinematic_fleet_matches_padded(self, fleet_setup):
+        """The kinematic fast path (solve_fleet_kinematic_specialized)
+        matches the padded fleet kinematic solve per member (f64, scalar
+        FK)."""
+        from differentiable_robot_model_tpu.models.fleet import (
+            solve_fleet_kinematic_adam,
+            solve_fleet_kinematic_specialized,
+        )
+
+        models, structs, ees, fleet = fleet_setup
+        R = len(structs)
+        Dmax = fleet.damping.shape[-1]
+        B = 2
+        rng = np.random.default_rng(41)
+        q0 = np.zeros((R, B, Dmax))
+        for r, s in enumerate(structs):
+            q0[r, :, : s.n_dofs] = rng.uniform(-0.4, 0.4, (B, s.n_dofs))
+        goals = rng.uniform(0.2, 0.4, (R, B, 3))
+
+        kw = dict(horizon=4, n_iters=5, lr=0.02, eps=1e-3)
+        res_pad = solve_fleet_kinematic_adam(
+            fleet, jnp.asarray(q0), jnp.asarray(goals), **kw
+        )
+        ee_idxs = [s.link_index(e) for s, e in zip(structs, ees)]
+        res_spec = jax.jit(
+            lambda qs, gs: solve_fleet_kinematic_specialized(
+                structs, ee_idxs, qs, gs, fk_impl="scalar", **kw
+            )
+        )(
+            tuple(jnp.asarray(q0[r, :, : s.n_dofs])
+                  for r, s in enumerate(structs)),
+            tuple(jnp.asarray(goals[r]) for r in range(R)),
+        )
+        for r, s in enumerate(structs):
+            Dn = s.n_dofs
+            assert np.allclose(
+                np.asarray(res_pad.actions[r, :, :, :Dn]),
+                np.asarray(res_spec[r].actions),
+                atol=1e-8,
+            ), r
+            assert np.allclose(
+                np.asarray(res_pad.cost[r]), np.asarray(res_spec[r].cost),
+                rtol=1e-8,
+            ), r
+
     def test_specialized_fleet_matches_padded_fleet(self, fleet_setup):
         """The fast path (per-member-specialized solves unrolled in one
         jitted program, models/fleet.solve_fleet_dynamic_specialized)

@@ -367,6 +367,62 @@ class TestPallasRollout:
         scale2 = max(1.0, float(jnp.max(jnp.abs(g_r2))))
         assert np.allclose(np.asarray(g_k2), np.asarray(g_r2), atol=2e-4 * scale2)
 
+    def test_rollout_ee_planar_robot(self):
+        """Regression (round 4): a PLANAR robot folds one or more world
+        coordinates of the end effector to trace-time constants, which the
+        EE-fused kernel must materialize to lane tiles — the original code
+        stored the scalar into an (8,128) slot (trace-time shape error)
+        and fed jax.vjp a non-differentiable scalar output. Values and
+        ee-cotangent gradients vs scan+FK on the 2-link."""
+        from differentiable_robot_model_tpu import DifferentiableTwoLinkRobot
+        from differentiable_robot_model_tpu.ops.kinematics import (
+            fk_link_position_dof_first,
+        )
+        from differentiable_robot_model_tpu.ops.pallas.rollout import (
+            dynamic_rollout_ee_pallas,
+        )
+        from differentiable_robot_model_tpu.trajopt.rollout import (
+            dynamic_rollout_dof_major,
+        )
+
+        s = DifferentiableTwoLinkRobot().struct
+        ee = s.link_index("endEffector")
+        q0, qd0, tau = self._data(s)
+        D, B = q0.shape
+
+        def ref(t):
+            qs, _ = dynamic_rollout_dof_major(s, q0, qd0, t, self.DT)
+            return fk_link_position_dof_first(
+                s, qs.transpose(1, 0, 2).reshape(D, -1), ee
+            ).reshape(3, self.H, B).transpose(1, 0, 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            _, _, ps_k = dynamic_rollout_ee_pallas(
+                s, q0, qd0, tau, self.DT, ee
+            )
+        ps_r = ref(tau)
+        assert np.allclose(np.asarray(ps_k), np.asarray(ps_r), atol=1e-4)
+        # the planar (constant) coordinate comes out exactly constant
+        const_axes = [
+            j for j in range(3)
+            if np.ptp(np.asarray(ps_r[:, j])) < 1e-12
+        ]
+        assert const_axes, "2-link should have a constant world coordinate"
+        for j in const_axes:
+            assert np.ptp(np.asarray(ps_k[:, j])) < 1e-12
+
+        with pltpu.force_tpu_interpret_mode():
+            g_k = jax.grad(
+                lambda t: jnp.sum(
+                    jnp.sin(dynamic_rollout_ee_pallas(
+                        s, q0, qd0, t, self.DT, ee
+                    )[2])
+                )
+            )(tau)
+        g_r = jax.grad(lambda t: jnp.sum(jnp.sin(ref(t))))(tau)
+        scale = max(1.0, float(jnp.max(jnp.abs(g_r))))
+        assert np.allclose(np.asarray(g_k), np.asarray(g_r), atol=2e-4 * scale)
+
     def test_rollout_traced_robot_falls_back(self):
         """A traced struct (robot-parameter differentiation) transparently
         uses the scan path — robot gradients flow."""
