@@ -366,17 +366,25 @@ def main():
         kin_parity[f"{eps:.0e}"] = float(np.max(np.abs(mine - ref[key])))
 
     # --- dynamic (torque-space) MPC: timing + eps parity grid ---------
-    # On TPU the rollout engine is the fused Pallas kernel (all H
-    # integration steps + the adjoint sweep in one launch each,
-    # ops/pallas/rollout.py); the CPU reference subprocess keeps the scan
-    # path, so the parity scalars certify the KERNEL against the scalar
-    # implementation across backends.
-    dyn_impl = "pallas" if on_tpu else "scan"
+    # On TPU the solve runs the round-4 whole-solve kernel
+    # (ops/pallas/solver.py): the ENTIRE Adam loop — every rollout, adjoint
+    # sweep, and optimizer update — in ONE kernel launch with actions,
+    # moments, and trajectories VMEM-resident. The CPU reference subprocess
+    # keeps the scan path, so the parity scalars certify the whole-solve
+    # KERNEL against the scalar implementation across backends. The
+    # per-iteration kernel path (round 3's flagship engine,
+    # ops/pallas/rollout.py) is timed alongside for the record.
+    dyn_impl = "fused" if on_tpu else "scan"
     dyn_solve = _dyn_solver(struct, ee_idx, DYN_EPS, dyn_impl)
     dyn_actions = dyn_solve(q0, qd0, goals)
     jax.block_until_ready(dyn_actions)
     dyn_dt = _throughput(dyn_solve, (q0, qd0, goals), reps=10)
     dyn_solves_per_s = B / dyn_dt
+    dyn_periter_dt = float("nan")
+    if on_tpu:
+        periter = _dyn_solver(struct, ee_idx, DYN_EPS, "pallas")
+        jax.block_until_ready(periter(q0, qd0, goals))
+        dyn_periter_dt = _throughput(periter, (q0, qd0, goals), reps=10)
 
     dyn_parity = {}
     for eps in EPS_GRID:
@@ -486,7 +494,13 @@ def main():
                 "dynamic_mpc_solves_per_s": round(dyn_solves_per_s, 1),
                 "dynamic_mpc_unit": (
                     "solves/s (iiwa torque-space MPC through forward dynamics, "
-                    f"H={H}, dt={DYN_DT}, B={B}, {ITERS} Adam iters)"
+                    f"H={H}, dt={DYN_DT}, B={B}, {ITERS} Adam iters; "
+                    f"engine={dyn_impl})"
+                ),
+                "dynamic_mpc_solves_per_s_periter_kernel": (
+                    round(B / dyn_periter_dt, 1)
+                    if dyn_periter_dt == dyn_periter_dt
+                    else float("nan")
                 ),
                 "dynamic_control_seq_max_err_vs_cpu": dyn_parity.get(
                     f"{DYN_EPS:.0e}", float("nan")

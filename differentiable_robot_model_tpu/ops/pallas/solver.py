@@ -1,0 +1,379 @@
+"""Whole-solve Pallas kernel: the ENTIRE dynamic Adam MPC solve in ONE launch.
+
+The round-3 fused rollout kernel (ops/pallas/rollout.py) collapsed ~1,000
+XLA dispatches per solve into 2 launches *per solver iteration* — but a
+10-iteration solve still pays 21 kernel launches, and between launches the
+action sequence, Adam moments, gradients, and saved trajectories all round-
+trip HBM while XLA stitches the precondition matvec, cost gradient, and
+optimizer update around the kernel pair.
+
+This kernel goes the rest of the way: the full solve loop
+
+    for t in 1..n_iters:
+        tau   = tau_ref + H0 @ a            (computed-torque precondition)
+        qs,pe = rollout(tau)                (H forward-dynamics steps)
+        g     = dcost/da                    (adjoint sweep, exact VJP)
+        a    -= Adam(g)                     (bias-corrected update)
+
+runs INSIDE one kernel: actions, Adam moments (m, v), the saved state
+trajectory, and the per-step end-effector positions all live in VMEM
+scratch for the whole solve; HBM sees only the problem inputs once and the
+final torques/cost-history once. The adjoint is the same replay-`jax.vjp`
+recursion the standalone backward kernel uses (exact gradients, no
+hand-derived adjoint); the Adam update happens per-stage DURING the
+reverse sweep, so no gradient buffer is ever materialized.
+
+Math matches `trajopt.solvers.solve_dynamic_adam_batch(rollout_impl="scan")`
+step for step (same integrator via `_fd_step_folded` — the exact port of
+`fd_step_implicit_damping` + velocity clamp — same cost, same optax-Adam
+update rule with bias correction); the scan path remains the
+identification/CPU twin and the parity oracle (tests/test_pallas.py).
+Beyond reference scope at every level (the reference's only solver is a
+host-side Python Adam loop, examples/run_kinematic_trajectory_opt.py:88-99).
+
+Frozen-robot (concrete float32 struct) mode only; callers fall back to the
+per-iteration paths otherwise. Not differentiable *through* the solve —
+identification-through-MPC uses the scan path, which differentiates w.r.t.
+everything.
+
+Testing note: Pallas INTERPRET emulation of this kernel is impractical —
+the triply-nested loop structure (iterations -> forward/adjoint sweeps ->
+step VJP) with functionalized ref state makes the emulator's MLIR lowering
+blow up (hours for a 2-step toy; measured, not assumed), while the real
+Mosaic compile of the same kernel is ~15 s. Compiled-kernel validation
+(parity vs the per-iteration kernel path and the scan path, with and
+without the effort box) therefore lives in tests/test_pallas_tpu.py; the
+CPU suite checks the trace/shape contract and the fallback behavior
+(tests/test_pallas.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...models.structs import RobotStruct
+from ..dynamics import GRAVITY
+from . import _fold as f
+from .rollout import (
+    LANE_R,
+    SUB_R,
+    TILE_R,
+    _consts,
+    _ee_fk_folded,
+    _f32,
+    _fd_step_folded,
+    _pack_db,
+    _pack_hdb,
+    _spec,
+    _unpack_hdb,
+)
+
+_B1 = 0.9
+_B2 = 0.999
+
+
+def _solve_kernel(
+    robot,
+    c,
+    H,
+    n_iters,
+    dt,
+    include_gravity,
+    use_damping,
+    gravity,
+    ee,
+    precond,
+    goal_weight,
+    effort_weight,
+    eps,
+    eps_root,
+    emax,  # None, or length-D tuple of float effort bounds (inf = unbounded)
+    # refs (leading-dim views; see host wrapper):
+    q0_ref,
+    qd0_ref,
+    tauref_ref,
+    goal_ref,
+    a0_ref,
+    bc_ref,
+    h0_ref,  # None when precond=False
+    tau_out_ref,
+    costs_ref,
+    a_ref,
+    m_ref,
+    v_ref,
+    tau_s_ref,
+    qs_ref,
+    qds_ref,
+    ps_ref,
+):
+    D = robot.n_dofs
+    shape = (SUB_R, LANE_R)
+    dtype = tau_out_ref.dtype
+    zeros = jnp.zeros(shape, dtype)
+
+    q0 = tuple(q0_ref[d] for d in range(D))
+    qd0 = tuple(qd0_ref[d] for d in range(D))
+    tau_ref_v = tuple(tauref_ref[d] for d in range(D))
+    goal_v = tuple(goal_ref[j] for j in range(3))
+    H0v = None
+    if precond:
+        # Load the per-scenario precondition matrix once; entries are lane
+        # arrays reused by every (iteration, step) matvec.
+        H0v = [[h0_ref[dd * D + e] for e in range(D)] for dd in range(D)]
+
+    # Cost immediates, rounded to f32 the same way the step constants are.
+    gw2 = _f32(_f32(goal_weight) * _f32(goal_weight))
+    cgoal_w = _f32(gw2 / (3.0 * H))  # cost_b = cgoal_w * sum_{h,j} diff^2 + ...
+    ceff_w = _f32(_f32(effort_weight) / (H * D))
+    gpe_w = _f32(2.0 * cgoal_w)  # d cost_b / d pe
+    geff_w = _f32(2.0 * ceff_w)  # d cost_b / d dtau
+    b1f, b2f = _f32(_B1), _f32(_B2)
+    omb1, omb2 = _f32(1.0 - _B1), _f32(1.0 - _B2)
+    epsf, eps_rootf = _f32(eps), _f32(eps_root)
+
+    def clip_tau_d(tau_d, d):
+        if emax is None or not np.isfinite(emax[d]):
+            return tau_d
+        e = _f32(emax[d])
+        return jnp.clip(tau_d, -e, e)
+
+    def step_fn(q, qd, tau):
+        """One integration step + ee FK, effort box INSIDE so its clip mask
+        rides the replay-VJP for free."""
+        tau_c = tuple(clip_tau_d(tau[d], d) for d in range(D))
+        qn, qdn = _fd_step_folded(
+            robot, c, dt, include_gravity, use_damping, gravity, q, qd, tau_c
+        )
+        return qn, qdn, _ee_fk_folded(robot, c, qn, ee)
+
+    def dtau_of(a_h):
+        if not precond:
+            return a_h
+        return tuple(
+            f.add(*[f.m(H0v[d][e], a_h[e]) for e in range(D)])
+            for d in range(D)
+        )
+
+    def fwd_sweep(final):
+        """Forward rollout at the CURRENT actions; saves (tau, qs, qds, pe)
+        for the adjoint replay and returns the per-lane cost. `final=True`
+        additionally writes the applied (clipped) torques to the output."""
+
+        def body(h, carry):
+            q, qd, cg, ce = carry
+            a_h = tuple(a_ref[h * D + e] for e in range(D))
+            dtau = dtau_of(a_h)
+            tau = tuple(f.add(tau_ref_v[d], dtau[d]) for d in range(D))
+            for d in range(D):
+                tau_s_ref[h * D + d] = tau[d]
+                if final:
+                    tau_out_ref[h * D + d] = clip_tau_d(tau[d], d)
+            qn, qdn, pe = step_fn(q, qd, tau)
+            for d in range(D):
+                qs_ref[h * D + d] = qn[d]
+                qds_ref[h * D + d] = qdn[d]
+            for j in range(3):
+                ps_ref[h * 3 + j] = pe[j]
+                diff = f.sub(pe[j], goal_v[j])
+                cg = cg + diff * diff
+            for d in range(D):
+                ce = ce + dtau[d] * dtau[d]
+            return (qn, qdn, cg, ce)
+
+        _, _, cg, ce = jax.lax.fori_loop(0, H, body, (q0, qd0, zeros, zeros))
+        return f.add(f.m(cgoal_w, cg), f.m(ceff_w, ce))
+
+    # ---- init: actions from the warm start, Adam moments zeroed ----
+    a_ref[...] = a0_ref[...]
+    zero_blk = jnp.zeros((H * D,) + shape, dtype)
+    m_ref[...] = zero_blk
+    v_ref[...] = zero_blk
+
+    def outer(t, carry):
+        costs_ref[t] = fwd_sweep(False)
+        alpha_v = bc_ref[2 * t]  # lr / (1 - b1^(t+1)), lane-shaped
+        ibc2_v = bc_ref[2 * t + 1]  # 1 / (1 - b2^(t+1))
+
+        def bwd_body(i, bcarry):
+            gq, gqd = bcarry
+            h = H - 1 - i
+            hm = jnp.maximum(h - 1, 0)
+            is0 = h == 0
+            qp, qdp, tau = [], [], []
+            for d in range(D):
+                qp.append(jnp.where(is0, q0[d], qs_ref[hm * D + d]))
+                qdp.append(jnp.where(is0, qd0[d], qds_ref[hm * D + d]))
+                tau.append(tau_s_ref[h * D + d])
+            gpe = tuple(
+                f.m(gpe_w, f.sub(ps_ref[h * 3 + j], goal_v[j]))
+                for j in range(3)
+            )
+            _, pull = jax.vjp(step_fn, tuple(qp), tuple(qdp), tuple(tau))
+            dq, dqd, dtau_g = pull((gq, gqd, gpe))
+            # total gradient w.r.t. the torque delta: goal term (through the
+            # rollout, box mask included by the VJP) + effort term
+            gt = tuple(
+                f.add(dtau_g[d], f.m(geff_w, f.sub(tau[d], tau_ref_v[d])))
+                for d in range(D)
+            )
+            if precond:
+                # chain through dtau = H0 a:  ga = H0^T gt
+                ga = tuple(
+                    f.add(*[f.m(H0v[dd][e], gt[dd]) for dd in range(D)])
+                    for e in range(D)
+                )
+            else:
+                ga = gt
+            # optax-Adam update, applied per stage during the reverse sweep
+            # (no gradient buffer): m/v in VMEM, bias correction via the
+            # precomputed per-iteration table.
+            for d in range(D):
+                idx = h * D + d
+                g_ = ga[d]
+                mu = b1f * m_ref[idx] + omb1 * g_
+                nu = b2f * v_ref[idx] + omb2 * (g_ * g_)
+                m_ref[idx] = mu
+                v_ref[idx] = nu
+                a_ref[idx] = a_ref[idx] - alpha_v * mu / (
+                    jnp.sqrt(nu * ibc2_v + eps_rootf) + epsf
+                )
+            return (dq, dqd)
+
+        zt = tuple(zeros for _ in range(D))
+        jax.lax.fori_loop(0, H, bwd_body, (zt, zt))
+        return carry
+
+    jax.lax.fori_loop(0, n_iters, outer, 0)
+    # final evaluation at the updated actions (matches the scan solver's
+    # trailing cost_fn) — also emits the applied torques.
+    costs_ref[n_iters] = fwd_sweep(True)
+
+
+def adam_solve_fused(
+    robot: RobotStruct,
+    q0T: jnp.ndarray,  # [D, B]
+    qd0T: jnp.ndarray,  # [D, B]
+    goalT: jnp.ndarray,  # [3, B]
+    tau_refT: jnp.ndarray,  # [D, B] gravity-compensation reference
+    H0: jnp.ndarray | None,  # [D, D, B] precondition matrix, or None
+    aT0: jnp.ndarray,  # [H, D, B] initial actions (accel units)
+    ee_link_idx: int,
+    n_iters: int,
+    dt: float,
+    lr: float,
+    goal_weight: float,
+    effort_weight: float,
+    eps: float,
+    use_damping: bool = True,
+    respect_effort_limits: bool = False,
+    include_gravity: bool = True,
+    gravity: float = GRAVITY,
+    eps_root: float = 1e-8,
+    interpret: bool = False,
+):
+    """Run the whole dynamic Adam MPC solve as one Pallas kernel launch.
+
+    Returns `(tauT_out [H, D, B] applied torques, costs [n_iters+1, B])`
+    where `costs[t]` is the per-scenario cost after `t` Adam updates
+    (`costs[n_iters]` is the final cost) — or **None** when the kernel
+    cannot serve this robot (traced / non-float32 struct), so callers fall
+    back to the per-iteration paths.
+    """
+    c = _consts(robot)
+    if c is None or robot.n_dofs == 0:
+        return None
+    D = robot.n_dofs
+    H = int(aT0.shape[0])
+    B = q0T.shape[1]
+    dtype = q0T.dtype
+
+    emax = None
+    if respect_effort_limits:
+        e = np.asarray(robot.limit_effort, np.float32)
+        emax = tuple(float(v) if v > 0 else float("inf") for v in e)
+
+    # Per-iteration Adam bias corrections as lane constants (a Mosaic
+    # scalar-load x vector broadcast is ~25x a vector op — see _fold).
+    tgrid = np.arange(1, n_iters + 1, dtype=np.float64)
+    alpha = np.float32(lr) / (1.0 - np.float64(_B1) ** tgrid)
+    ibc2 = 1.0 / (1.0 - np.float64(_B2) ** tgrid)
+    bc = np.empty((2 * n_iters, SUB_R, LANE_R), np.float32)
+    bc[0::2] = alpha.astype(np.float32)[:, None, None]
+    bc[1::2] = ibc2.astype(np.float32)[:, None, None]
+    bc = jnp.asarray(bc)
+
+    pad = (-B) % TILE_R
+    Nt = (B + pad) // TILE_R
+    padb = lambda x: jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, pad),))
+    q0P = _pack_db(padb(q0T), Nt)
+    qd0P = _pack_db(padb(qd0T), Nt)
+    taurefP = _pack_db(padb(tau_refT), Nt)
+    goalP = _pack_db(padb(goalT), Nt)
+    a0P = _pack_hdb(padb(jnp.broadcast_to(aT0, (H, D, B))), Nt)
+    precond = H0 is not None
+    ins = [q0P, qd0P, taurefP, goalP, a0P, bc]
+    bc_spec = pl.BlockSpec(
+        (2 * n_iters, SUB_R, LANE_R), lambda i: (0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [_spec(D), _spec(D), _spec(D), _spec(3), _spec(H * D), bc_spec]
+    if precond:
+        ins.append(_pack_db(padb(H0.reshape(D * D, -1)), Nt))
+        in_specs.append(_spec(D * D))
+
+    def kernel(*refs):
+        if precond:
+            (q0_r, qd0_r, tr_r, gl_r, a0_r, bc_r, h0_r,
+             tau_o, costs_o, a_s, m_s, v_s, tau_s, qs_s, qds_s, ps_s) = refs
+            h0_view = h0_r.at[:, 0]
+        else:
+            (q0_r, qd0_r, tr_r, gl_r, a0_r, bc_r,
+             tau_o, costs_o, a_s, m_s, v_s, tau_s, qs_s, qds_s, ps_s) = refs
+            h0_view = None
+        _solve_kernel(
+            robot, c, H, n_iters, dt, include_gravity, use_damping, gravity,
+            ee_link_idx, precond, goal_weight, effort_weight, eps, eps_root,
+            emax,
+            q0_r.at[:, 0], qd0_r.at[:, 0], tr_r.at[:, 0], gl_r.at[:, 0],
+            a0_r.at[:, 0], bc_r, h0_view,
+            tau_o.at[:, 0], costs_o.at[:, 0],
+            a_s, m_s, v_s, tau_s, qs_s, qds_s, ps_s,
+        )
+
+    outs = (
+        jax.ShapeDtypeStruct((H * D, Nt, SUB_R, LANE_R), dtype),
+        jax.ShapeDtypeStruct((n_iters + 1, Nt, SUB_R, LANE_R), dtype),
+    )
+    blk = lambda K: pltpu.VMEM((K, SUB_R, LANE_R), dtype)
+    tauP, costsP = pl.pallas_call(
+        kernel,
+        out_shape=outs,
+        grid=(Nt,),
+        in_specs=in_specs,
+        out_specs=(_spec(H * D), _spec(n_iters + 1)),
+        scratch_shapes=[
+            blk(H * D),  # a      (current actions)
+            blk(H * D),  # m      (Adam first moment)
+            blk(H * D),  # v      (Adam second moment)
+            blk(H * D),  # tau_s  (unclipped torques for the adjoint replay)
+            blk(H * D),  # qs     (saved position trajectory)
+            blk(H * D),  # qds    (saved velocity trajectory)
+            blk(H * 3),  # ps     (saved end-effector trajectory)
+        ],
+        # Scratch (7 blocks above, ~10 MB at H=50 D=7) + double-buffered
+        # in/out blocks + the step-VJP's residual spills exceed the 16 MB
+        # default scoped-vmem budget at the flagship horizon; v5e cores have
+        # headroom (the standalone backward kernel already runs at 24 MB).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=30 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*ins)
+    return (
+        _unpack_hdb(tauP, H, D, B),
+        costsP.reshape(n_iters + 1, -1)[:, :B],
+    )

@@ -168,10 +168,11 @@ class DynamicMPCConfig:
     # Enforce URDF effort limits as a box constraint on planned AND executed
     # torques (see solvers.solve_dynamic_adam's respect_effort_limits).
     respect_effort_limits: bool = False
-    # Rollout engine: "auto" picks the fused Pallas kernel on TPU backends
-    # (all H integration steps + the reverse sweep in one launch each,
-    # ops/pallas/rollout.py) and the lax.scan path elsewhere; "scan" or
-    # "pallas" force a choice (see solvers.solve_dynamic_adam_batch).
+    # Rollout engine: "auto" picks the whole-solve fused kernel on TPU
+    # backends (the ENTIRE Adam loop in one launch, ops/pallas/solver.py;
+    # falls back per-robot to the per-iteration rollout kernel) and the
+    # lax.scan path elsewhere; "fused"/"pallas"/"scan" force a choice (see
+    # solvers.solve_dynamic_adam_batch).
     rollout_impl: str = "auto"
 
 
@@ -296,7 +297,7 @@ def make_dynamic_mpc_step_batch(
     vmax = _velocity_bound(robot, 1)  # [D, 1] for the dof-major plant step
     rollout_impl = config.rollout_impl
     if rollout_impl == "auto":
-        rollout_impl = "pallas" if _jax.default_backend() == "tpu" else "scan"
+        rollout_impl = "fused" if _jax.default_backend() == "tpu" else "scan"
 
     def step(states: DynamicMPCState, goals: jnp.ndarray):
         result = solve_dynamic_adam_batch(

@@ -368,7 +368,13 @@ def solve_dynamic_adam_batch(
     - "pallas": the fused rollout kernel (ops/pallas/rollout.py) — all H
       integration steps in one kernel launch with state resident in VMEM,
       and the whole reverse sweep in one more (requires a concrete float32
-      robot; falls back to scan otherwise).
+      robot; falls back to scan otherwise);
+    - "fused": the whole-solve kernel (ops/pallas/solver.py) — the ENTIRE
+      Adam loop (all n_iters x rollout + adjoint + optimizer update) in
+      ONE kernel launch, actions/moments/trajectories VMEM-resident for
+      the whole solve. Fastest path; requires a concrete float32 robot
+      (falls back to "pallas"/"scan") and is not differentiable *through*
+      the solve (identification uses "scan").
     """
     from ..ops.dynamics_scalar import mass_matrix_scalar, rnea_scalar
     from ..ops.kinematics import fk_link_position_dof_first
@@ -401,10 +407,12 @@ def solve_dynamic_adam_batch(
         tauT = tau_refT + to_torque_deltas(aT)
         return tauT if emax is None else jnp.clip(tauT, -emax, emax)
 
-    if rollout_impl == "pallas":
+    if rollout_impl in ("pallas", "fused"):
         # EE-fused kernel: the rollout emits the end-effector trajectory
         # directly (the cost's FK runs INSIDE the kernel), so each solver
         # iteration is exactly one forward launch + one adjoint launch.
+        # ("fused" binds this too, but only reaches it when the whole-solve
+        # kernel declines the robot and falls back below.)
         from ..ops.pallas.rollout import dynamic_rollout_ee_pallas
 
         def ee_traj_fn(tauT):  # [H, D, B] -> p [3, H, B]
@@ -455,6 +463,25 @@ def solve_dynamic_adam_batch(
         # Data-dependent zeros (0*q0T term): see solve_kinematic_adam_batch
         # for the shard_map constant-hoist hazard this avoids.
         aT0 = jnp.zeros((H, D_, 1), dtype) + 0.0 * q0T[None]
+
+    if rollout_impl == "fused":
+        from ..ops.pallas.solver import adam_solve_fused
+
+        fused = adam_solve_fused(
+            robot, q0T, qd0T, goalT, tau_refT, H0,
+            jnp.broadcast_to(aT0, (H, D_, B)), ee_link_idx,
+            n_iters=n_iters, dt=dt, lr=lr, goal_weight=goal_weight,
+            effort_weight=effort_weight, eps=eps, use_damping=use_damping,
+            respect_effort_limits=respect_effort_limits,
+        )
+        if fused is not None:
+            tauT_out, costs_all = fused  # [H, D, B], [n_iters+1, B]
+            return BatchTrajOptResult(
+                tauT_out.transpose(2, 0, 1),
+                costs_all[n_iters],
+                costs_all[:n_iters],
+            )
+        rollout_impl = "pallas"  # traced / non-f32 robot: per-iteration path
 
     opt = optax.adam(lr, eps=eps, eps_root=1e-8)
 

@@ -441,3 +441,83 @@ class TestPallasRollout:
         g = jax.grad(loss)(s.mass)
         assert np.any(np.asarray(g) != 0)
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestFusedSolveKernel:
+    """Whole-solve Adam kernel (ops/pallas/solver.py) — CPU-checkable
+    contract. Interpret-mode execution of this kernel is impractical (see
+    the module docstring: the emulator's MLIR lowering blows up on the
+    triply-nested loop structure), so numerical parity runs compiled on the
+    chip (tests/test_pallas_tpu.py::test_fused_whole_solve_kernel_on_chip);
+    here we pin the trace/shape contract and every fallback edge.
+    """
+
+    def _problem(self, dtype=jnp.float32):
+        s = DifferentiableKUKAiiwa().struct
+        ee = s.link_index("iiwa_link_ee")
+        B, H, IT, D = 4, 6, 3, 7
+        q0 = jnp.zeros((B, D), dtype)
+        qd0 = jnp.zeros((B, D), dtype)
+        goals = jnp.full((B, 3), 0.3, dtype)
+        return s, ee, B, H, IT, q0, qd0, goals
+
+    def test_trace_and_shapes(self):
+        """The fused branch traces end-to-end and returns the same result
+        structure as the other impls (actions [B,H,D], cost [B],
+        history [iters, B])."""
+        from differentiable_robot_model_tpu.trajopt.solvers import (
+            solve_dynamic_adam_batch,
+        )
+
+        s, ee, B, H, IT, q0, qd0, goals = self._problem()
+        out = jax.eval_shape(
+            lambda a, b, c: solve_dynamic_adam_batch(
+                s, a, b, c, ee, horizon=H, n_iters=IT, rollout_impl="fused"
+            ),
+            q0, qd0, goals,
+        )
+        assert out.actions.shape == (B, H, 7)
+        assert out.cost.shape == (B,)
+        assert out.cost_history.shape == (IT, B)
+        assert out.actions.dtype == jnp.float32
+
+    def test_fallback_for_f64_struct(self):
+        """A non-float32 struct declines the kernel (immediates would
+        downcast) and the solver transparently uses the scan/pallas path —
+        same contract as the rollout kernel's fallback."""
+        from differentiable_robot_model_tpu.ops.pallas.solver import (
+            adam_solve_fused,
+        )
+
+        s64 = DifferentiableKUKAiiwa().struct.astype(jnp.float64)
+        D = s64.n_dofs
+        z = jnp.zeros((D, 2), jnp.float64)
+        out = adam_solve_fused(
+            s64, z, z, jnp.zeros((3, 2), jnp.float64), z, None,
+            jnp.zeros((4, D, 2), jnp.float64), 0,
+            n_iters=2, dt=0.02, lr=0.5, goal_weight=10.0,
+            effort_weight=1e-4, eps=1e-1,
+        )
+        assert out is None
+
+    def test_fallback_for_traced_struct(self):
+        """A traced struct (robot-parameter differentiation) declines the
+        kernel; solve_dynamic_adam_batch(rollout_impl='fused') still solves
+        via the fallback and stays differentiable w.r.t. the robot."""
+        from differentiable_robot_model_tpu.trajopt.solvers import (
+            solve_dynamic_adam_batch,
+        )
+
+        s, ee, B, H, IT, q0, qd0, goals = self._problem()
+
+        def loss(mass):
+            s2 = s.with_arrays(mass=mass)
+            res = solve_dynamic_adam_batch(
+                s2, q0, qd0, goals, ee, horizon=2, n_iters=1,
+                rollout_impl="fused",
+            )
+            return jnp.sum(res.cost)
+
+        g = jax.grad(loss)(s.mass)
+        assert g.shape == s.mass.shape
+        assert bool(jnp.all(jnp.isfinite(g)))

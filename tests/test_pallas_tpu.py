@@ -304,3 +304,38 @@ def test_model_api_id_impl_dispatch(iiwa):
         model.compute_inverse_dynamics(q2, qd2, qdd2, id_impl="scalar")
     )
     assert np.array_equal(t_small_auto, t_small_scalar)
+
+
+def test_fused_whole_solve_kernel_on_chip(iiwa):
+    """The whole-solve Adam kernel (ops/pallas/solver.py — the ENTIRE
+    n_iters x (rollout + adjoint + Adam update) loop in ONE launch) matches
+    the per-iteration kernel path and the scan path through a full solve,
+    including the effort-box variant."""
+    from differentiable_robot_model_tpu.trajopt.solvers import (
+        solve_dynamic_adam_batch,
+    )
+
+    ee = iiwa.link_index("iiwa_link_ee")
+    B = 64
+    q0 = _rand(B, 7, seed=51, scale=0.5)
+    qd0 = jnp.zeros((B, 7), jnp.float32)
+    goals = jax.vmap(
+        lambda x: fk_link_position_dof_first(iiwa, x[:, None], ee)[:, 0]
+    )(_rand(B, 7, seed=52, scale=0.7))
+    for limits in (False, True):
+        kw = dict(
+            horizon=10, n_iters=5, lr=0.5, eps=1e-1,
+            respect_effort_limits=limits,
+        )
+        outs = {
+            impl: np.asarray(
+                jax.jit(
+                    lambda a, b, c, impl=impl: solve_dynamic_adam_batch(
+                        iiwa, a, b, c, ee, rollout_impl=impl, **kw
+                    ).actions
+                )(q0, qd0, goals)
+            )
+            for impl in ("fused", "pallas", "scan")
+        }
+        assert np.allclose(outs["fused"], outs["pallas"], atol=5e-3), limits
+        assert np.allclose(outs["fused"], outs["scan"], atol=5e-3), limits
