@@ -111,6 +111,10 @@ def main():
     )
     dyn_b1 = {}  # (H, iters) -> (latency_s, closed-loop cost after 10 ticks)
 
+    # "auto" resolves to the round-4 whole-solve kernel on TPU (the entire
+    # Adam loop in one launch, ops/pallas/solver.py); the engine is recorded
+    # per row so artifacts across rounds stay comparable.
+    dyn_engine = "fused" if jax.default_backend() == "tpu" else "scan"
     for horizon, iters in [(50, 10), (20, 3)]:
         dconfig = DynamicMPCConfig(horizon=horizon, iters_per_step=iters)
         dstep_raw = make_dynamic_mpc_step(struct, ee, dconfig)
@@ -152,6 +156,7 @@ def main():
             json.dumps(
                 {
                     "workload": "dynamic_mpc_step",
+                    "engine": dyn_engine,
                     "horizon": horizon,
                     "iters": iters,
                     "replan_latency_ms_B1": round(ddt * 1e3, 3),

@@ -377,3 +377,224 @@ def adam_solve_fused(
         _unpack_hdb(tauP, H, D, B),
         costsP.reshape(n_iters + 1, -1)[:, :B],
     )
+
+
+# ---------------------------------------------------------------------------
+# Kinematic whole-solve kernel (the headline workload's twin)
+# ---------------------------------------------------------------------------
+
+
+def _kin_solve_kernel(
+    robot,
+    c,
+    H,
+    n_iters,
+    ee,
+    goal_weight,
+    eps,
+    eps_root,
+    lohi,  # length-D tuple of (lo, hi) float joint limits (may be +-inf)
+    # refs:
+    q0_ref,
+    goal_ref,
+    a0_ref,
+    bc_ref,
+    a_out_ref,
+    costs_ref,
+    a_ref,
+    m_ref,
+    v_ref,
+    qs_ref,
+    ps_ref,
+):
+    """Whole-solve kernel for the KINEMATIC flagship: the reference's
+    trajectory-optimization workload (run_kinematic_trajectory_opt.py:88-99
+    as an MPC replan) with the entire Adam loop in one launch. Same design
+    as `_solve_kernel` with the forward-dynamics integrator replaced by the
+    clamp-affine kinematic step q' = clip(q + a, lo, hi) (exact port of
+    trajopt.rollout.clamp_affine_q_traj's sequential recursion, identical
+    values and subgradients) and the ee FK fused per step. Entry 0 of the
+    trajectory is the (pre-clipped) start state, so its cost term is
+    iteration-constant and the LAST action never receives gradient —
+    matching solve_kinematic_adam_batch exactly."""
+    D = robot.n_dofs
+    shape = (SUB_R, LANE_R)
+    dtype = a_out_ref.dtype
+    zeros = jnp.zeros(shape, dtype)
+
+    q0 = tuple(q0_ref[d] for d in range(D))
+    goal_v = tuple(goal_ref[j] for j in range(3))
+
+    gw2 = _f32(_f32(goal_weight) * _f32(goal_weight))
+    cgoal_w = _f32(gw2 / (3.0 * H))
+    gpe_w = _f32(2.0 * cgoal_w)
+    b1f, b2f = _f32(_B1), _f32(_B2)
+    omb1, omb2 = _f32(1.0 - _B1), _f32(1.0 - _B2)
+    epsf, eps_rootf = _f32(eps), _f32(eps_root)
+
+    def clip_d(x, d):
+        lo, hi = lohi[d]
+        if np.isfinite(lo):
+            x = jnp.maximum(x, _f32(lo))
+        if np.isfinite(hi):
+            x = jnp.minimum(x, _f32(hi))
+        return x
+
+    def step_fn(q, a):
+        qn = tuple(clip_d(q[d] + a[d], d) for d in range(D))
+        return qn, _ee_fk_folded(robot, c, qn, ee)
+
+    # Start-state cost term (trajectory entry 0): constant across
+    # iterations — fold it once.
+    pe0 = _ee_fk_folded(robot, c, q0, ee)
+    cg0 = zeros
+    for j in range(3):
+        diff = f.sub(pe0[j], goal_v[j])
+        cg0 = cg0 + diff * diff
+
+    def fwd_sweep():
+        def body(h, carry):
+            q, cg = carry
+            a_h = tuple(a_ref[h * D + e] for e in range(D))
+            qn, pe = step_fn(q, a_h)
+            for d in range(D):
+                qs_ref[h * D + d] = qn[d]
+            for j in range(3):
+                ps_ref[h * 3 + j] = pe[j]
+                diff = f.sub(pe[j], goal_v[j])
+                cg = cg + diff * diff
+            return (qn, cg)
+
+        # H-1 action steps (the last action is unused — reference parity)
+        _, cg = jax.lax.fori_loop(0, H - 1, body, (q0, cg0))
+        return f.m(cgoal_w, cg)
+
+    a_ref[...] = a0_ref[...]
+    zero_blk = jnp.zeros((H * D,) + shape, dtype)
+    m_ref[...] = zero_blk
+    v_ref[...] = zero_blk
+
+    def outer(t, carry):
+        costs_ref[t] = fwd_sweep()
+        alpha_v = bc_ref[2 * t]
+        ibc2_v = bc_ref[2 * t + 1]
+
+        def bwd_body(i, gq):
+            h = H - 2 - i  # last action step first
+            hm = jnp.maximum(h - 1, 0)
+            is0 = h == 0
+            qp, a_h = [], []
+            for d in range(D):
+                qp.append(jnp.where(is0, q0[d], qs_ref[hm * D + d]))
+                a_h.append(a_ref[h * D + d])
+            gpe = tuple(
+                f.m(gpe_w, f.sub(ps_ref[h * 3 + j], goal_v[j]))
+                for j in range(3)
+            )
+            _, pull = jax.vjp(step_fn, tuple(qp), tuple(a_h))
+            dq, da = pull((gq, gpe))
+            for d in range(D):
+                idx = h * D + d
+                g_ = da[d]
+                mu = b1f * m_ref[idx] + omb1 * g_
+                nu = b2f * v_ref[idx] + omb2 * (g_ * g_)
+                m_ref[idx] = mu
+                v_ref[idx] = nu
+                a_ref[idx] = a_ref[idx] - alpha_v * mu / (
+                    jnp.sqrt(nu * ibc2_v + eps_rootf) + epsf
+                )
+            return dq
+
+        zt = tuple(zeros for _ in range(D))
+        jax.lax.fori_loop(0, H - 1, bwd_body, zt)
+        return carry
+
+    jax.lax.fori_loop(0, n_iters, outer, 0)
+    costs_ref[n_iters] = fwd_sweep()
+    a_out_ref[...] = a_ref[...]
+
+
+def kinematic_adam_solve_fused(
+    robot: RobotStruct,
+    q0T: jnp.ndarray,  # [D, B] start configs, ALREADY clipped to limits
+    goalT: jnp.ndarray,  # [3, B]
+    aT0: jnp.ndarray,  # [H, D, B] initial actions (joint deltas)
+    ee_link_idx: int,
+    n_iters: int,
+    lr: float,
+    goal_weight: float,
+    eps: float,
+    eps_root: float = 1e-8,
+    interpret: bool = False,
+):
+    """Whole-solve kernel wrapper for the kinematic flagship. Returns
+    `(aT_out [H, D, B] optimized action deltas, costs [n_iters+1, B])`, or
+    None when the kernel cannot serve this robot (traced / non-f32 struct
+    or horizon 1 — the H-1-step sweep needs at least one action step)."""
+    c = _consts(robot)
+    H = int(aT0.shape[0])
+    if c is None or robot.n_dofs == 0 or H < 2:
+        return None
+    D = robot.n_dofs
+    B = q0T.shape[1]
+    dtype = q0T.dtype
+
+    lo = np.asarray(robot.limit_lower, np.float32)
+    hi = np.asarray(robot.limit_upper, np.float32)
+    lohi = tuple((float(lo[d]), float(hi[d])) for d in range(D))
+
+    tgrid = np.arange(1, n_iters + 1, dtype=np.float64)
+    alpha = np.float32(lr) / (1.0 - np.float64(_B1) ** tgrid)
+    ibc2 = 1.0 / (1.0 - np.float64(_B2) ** tgrid)
+    bc = np.empty((2 * n_iters, SUB_R, LANE_R), np.float32)
+    bc[0::2] = alpha.astype(np.float32)[:, None, None]
+    bc[1::2] = ibc2.astype(np.float32)[:, None, None]
+    bc = jnp.asarray(bc)
+
+    pad = (-B) % TILE_R
+    Nt = (B + pad) // TILE_R
+    padb = lambda x: jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, pad),))
+    q0P = _pack_db(padb(q0T), Nt)
+    goalP = _pack_db(padb(goalT), Nt)
+    a0P = _pack_hdb(padb(jnp.broadcast_to(aT0, (H, D, B))), Nt)
+    bc_spec = pl.BlockSpec(
+        (2 * n_iters, SUB_R, LANE_R), lambda i: (0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    def kernel(q0_r, gl_r, a0_r, bc_r, a_o, costs_o, a_s, m_s, v_s, qs_s, ps_s):
+        _kin_solve_kernel(
+            robot, c, H, n_iters, ee_link_idx, goal_weight, eps, eps_root,
+            lohi,
+            q0_r.at[:, 0], gl_r.at[:, 0], a0_r.at[:, 0], bc_r,
+            a_o.at[:, 0], costs_o.at[:, 0],
+            a_s, m_s, v_s, qs_s, ps_s,
+        )
+
+    outs = (
+        jax.ShapeDtypeStruct((H * D, Nt, SUB_R, LANE_R), dtype),
+        jax.ShapeDtypeStruct((n_iters + 1, Nt, SUB_R, LANE_R), dtype),
+    )
+    blk = lambda K: pltpu.VMEM((K, SUB_R, LANE_R), dtype)
+    aP, costsP = pl.pallas_call(
+        kernel,
+        out_shape=outs,
+        grid=(Nt,),
+        in_specs=[_spec(D), _spec(3), _spec(H * D), bc_spec],
+        out_specs=(_spec(H * D), _spec(n_iters + 1)),
+        scratch_shapes=[
+            blk(H * D),  # a
+            blk(H * D),  # m
+            blk(H * D),  # v
+            blk(H * D),  # qs
+            blk(H * 3),  # ps
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(q0P, goalP, a0P, bc)
+    return (
+        _unpack_hdb(aP, H, D, B),
+        costsP.reshape(n_iters + 1, -1)[:, :B],
+    )

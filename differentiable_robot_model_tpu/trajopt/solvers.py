@@ -114,7 +114,10 @@ def solve_kinematic_adam_batch(
     entered with a reshape instead of a transpose relayout, the horizon
     integration is the clamp-affine associative scan, and all B scenarios x H
     steps are one FK call per solver iteration. `fk_impl="scalar"` selects
-    the XLA path (CPU-runnable). Identification works through either impl:
+    the XLA path (CPU-runnable); `fk_impl="fused"` the whole-solve kernel
+    (the ENTIRE Adam loop in one launch, ops/pallas/solver.py — falls back
+    to "pallas" for traced/non-f32 robots and is not differentiable
+    through the solve). Identification works through either impl:
     the Pallas VJP auto-falls-back to the scalar path when robot-parameter
     cotangents are demanded (ops/pallas/fk.py _dm_vjp_fwd).
 
@@ -133,9 +136,11 @@ def solve_kinematic_adam_batch(
     H = horizon
     dtype = robot.dtype
 
-    if fk_impl == "pallas":
+    if fk_impl in ("pallas", "fused"):
         from ..ops.pallas.fk import fk_position_dof_major
 
+        # "fused" (the whole-solve kernel below) binds this too; it is only
+        # reached when the kernel declines the robot and falls back.
         fk_fn = lambda qM: fk_position_dof_major(robot, qM, ee_link_idx)
     else:
         from ..ops.kinematics import fk_link_position_dof_first
@@ -169,6 +174,26 @@ def solve_kinematic_adam_batch(
         # shard_map is wrong by O(1)). Tying the init to the sharded input
         # keeps it inside the body.
         aT0 = jnp.zeros((D, H, 1), dtype) + 0.0 * q0T[:, None, :]
+
+    if fk_impl == "fused":
+        # Whole-solve kernel (ops/pallas/solver.py): the entire Adam loop —
+        # kinematic rollout, ee FK, adjoint, optimizer update — in ONE
+        # launch. Same fallback contract as the dynamic "fused" path.
+        from ..ops.pallas.solver import kinematic_adam_solve_fused
+
+        fused = kinematic_adam_solve_fused(
+            robot, q0T, goalT,
+            jnp.broadcast_to(aT0, (D, H, B)).transpose(1, 0, 2),
+            ee_link_idx, n_iters=n_iters, lr=lr, goal_weight=goal_weight,
+            eps=eps,
+        )
+        if fused is not None:
+            a_out, costs_all = fused  # [H, D, B], [n_iters+1, B]
+            return BatchTrajOptResult(
+                a_out.transpose(2, 0, 1),
+                costs_all[n_iters],
+                costs_all[:n_iters],
+            )
 
     def iteration(carry, _):
         aT, opt_state = carry

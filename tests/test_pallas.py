@@ -521,3 +521,58 @@ class TestFusedSolveKernel:
         g = jax.grad(loss)(s.mass)
         assert g.shape == s.mass.shape
         assert bool(jnp.all(jnp.isfinite(g)))
+
+    def test_kinematic_trace_shapes_and_fallbacks(self):
+        """Kinematic whole-solve kernel: trace/shape contract, H=1 edge
+        (no action steps -> kernel declines), and f64/traced fallbacks."""
+        from differentiable_robot_model_tpu.ops.pallas.solver import (
+            kinematic_adam_solve_fused,
+        )
+        from differentiable_robot_model_tpu.trajopt.solvers import (
+            solve_kinematic_adam_batch,
+        )
+
+        s, ee, B, H, IT, q0, qd0, goals = self._problem()
+        out = jax.eval_shape(
+            lambda a, c: solve_kinematic_adam_batch(
+                s, a, c, ee, horizon=H, n_iters=IT, fk_impl="fused"
+            ),
+            q0, goals,
+        )
+        assert out.actions.shape == (B, H, 7)
+        assert out.cost_history.shape == (IT, B)
+
+        # H=1: no action steps — the kernel declines (returns None)
+        D = s.n_dofs
+        z32 = jnp.zeros((D, 2), jnp.float32)
+        assert (
+            kinematic_adam_solve_fused(
+                s, z32, jnp.zeros((3, 2), jnp.float32),
+                jnp.zeros((1, D, 2), jnp.float32), ee,
+                n_iters=2, lr=0.05, goal_weight=100.0, eps=1.0,
+            )
+            is None
+        )
+
+        s64 = s.astype(jnp.float64)
+        z = jnp.zeros((D, 2), jnp.float64)
+        assert (
+            kinematic_adam_solve_fused(
+                s64, z, jnp.zeros((3, 2), jnp.float64),
+                jnp.zeros((4, D, 2), jnp.float64), ee,
+                n_iters=2, lr=0.05, goal_weight=100.0, eps=1.0,
+            )
+            is None
+        )
+
+        # traced struct: solve falls back and stays robot-differentiable
+        def loss(trans):
+            s2 = s.with_arrays(trans=trans)
+            res = solve_kinematic_adam_batch(
+                s2, q0, goals, ee, horizon=2, n_iters=1, fk_impl="fused"
+            )
+            return jnp.sum(res.cost)
+
+        g = jax.grad(loss)(s.trans)
+        assert g.shape == s.trans.shape
+        assert bool(jnp.all(jnp.isfinite(g)))

@@ -339,3 +339,35 @@ def test_fused_whole_solve_kernel_on_chip(iiwa):
         }
         assert np.allclose(outs["fused"], outs["pallas"], atol=5e-3), limits
         assert np.allclose(outs["fused"], outs["scan"], atol=5e-3), limits
+
+
+def test_kinematic_fused_whole_solve_kernel_on_chip(iiwa):
+    """The kinematic whole-solve kernel (the headline workload's twin)
+    matches the per-iteration FK-kernel path and the scalar path through a
+    full solve, including warm starts."""
+    from differentiable_robot_model_tpu.trajopt.solvers import (
+        solve_kinematic_adam_batch,
+    )
+
+    ee = iiwa.link_index("iiwa_link_ee")
+    B = 64
+    q0 = _rand(B, 7, seed=61, scale=0.5)
+    goals = jax.vmap(
+        lambda x: fk_link_position_dof_first(iiwa, x[:, None], ee)[:, 0]
+    )(_rand(B, 7, seed=62, scale=0.8))
+    warm = 0.02 * _rand(B, 7, seed=63)[:, None, :] * jnp.ones((1, 12, 1))
+    for init in (None, warm):
+        kw = dict(horizon=12, n_iters=6, lr=0.05, eps=1.0, init_actions=init)
+        outs = {
+            impl: np.asarray(
+                jax.jit(
+                    lambda a, c, impl=impl: solve_kinematic_adam_batch(
+                        iiwa, a, c, ee, fk_impl=impl, **kw
+                    ).actions
+                )(q0, goals)
+            )
+            for impl in ("fused", "pallas", "scalar")
+        }
+        tag = "warm" if init is not None else "cold"
+        assert np.allclose(outs["fused"], outs["pallas"], atol=2e-3), tag
+        assert np.allclose(outs["fused"], outs["scalar"], atol=2e-3), tag
