@@ -103,7 +103,9 @@ def main():
     ee_idxs_k = [s.link_index(ee) for s, (_, ee) in zip(structs, members)]
     q0_tk = tuple(q0[r, :, : s.n_dofs] for r, s in enumerate(structs))
     goals_tk = tuple(goals[r] for r in range(R))
-    fk = "pallas" if jax.default_backend() == "tpu" else "scalar"
+    # "fused" = the round-4 whole-solve kernel per member (each member's
+    # entire Adam loop is one kernel launch inside the one jitted program)
+    fk = "fused" if jax.default_backend() == "tpu" else "scalar"
     kin_spec = jax.jit(lambda qs, gs: tuple(
         r.actions for r in solve_fleet_kinematic_specialized(
             structs, ee_idxs_k, qs, gs,
@@ -141,21 +143,26 @@ def main():
     q0_t = tuple(q0[r, :, : s.n_dofs] for r, s in enumerate(structs))
     qd0_t = tuple(jnp.zeros_like(x) for x in q0_t)
     goals_t = tuple(goals[r] for r in range(R))
-    impl = "pallas" if jax.default_backend() == "tpu" else "scan"
-    spec = jax.jit(lambda qs, qds, gs: tuple(
-        r.actions for r in solve_fleet_dynamic_specialized(
-            structs, ee_idxs, qs, qds, gs,
-            horizon=args.H, n_iters=args.iters, lr=0.5, eps=1e-1,
-            rollout_impl=impl,
-        )
-    ))
-    res = benchmark(spec, q0_t, qd0_t, goals_t, iters=3, warmup=1, windows=3)
-    emit({
-        "workload": "fleet_dynamic_mpc_specialized",
-        "rollout_impl": impl,
-        "solve_batch_ms": round(res.best_s * 1e3, 2),
-        "solves_per_s": round(R * B / res.best_s, 1),
-    })
+    # Both kernel engines measured in ONE process (cross-process tunnel
+    # variance is ~1.5x on this workload, larger than the engine gap):
+    # "fused" = per-member whole-solve kernels, "pallas" = per-member
+    # per-iteration kernel pairs.
+    impls = ("fused", "pallas") if jax.default_backend() == "tpu" else ("scan",)
+    for impl in impls:
+        spec = jax.jit(lambda qs, qds, gs, impl=impl: tuple(
+            r.actions for r in solve_fleet_dynamic_specialized(
+                structs, ee_idxs, qs, qds, gs,
+                horizon=args.H, n_iters=args.iters, lr=0.5, eps=1e-1,
+                rollout_impl=impl,
+            )
+        ))
+        res = benchmark(spec, q0_t, qd0_t, goals_t, iters=3, warmup=1, windows=3)
+        emit({
+            "workload": "fleet_dynamic_mpc_specialized",
+            "rollout_impl": impl,
+            "solve_batch_ms": round(res.best_s * 1e3, 2),
+            "solves_per_s": round(R * B / res.best_s, 1),
+        })
 
     # --- identification THROUGH the fleet MPC solve -------------------
     # The TRUE fleet's solver produces expert plans for a grid of start
