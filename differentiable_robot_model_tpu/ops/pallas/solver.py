@@ -598,3 +598,323 @@ def kinematic_adam_solve_fused(
         _unpack_hdb(aP, H, D, B),
         costsP.reshape(n_iters + 1, -1)[:, :B],
     )
+
+
+# ---------------------------------------------------------------------------
+# MPPI whole-solve kernel (derivative-free family)
+# ---------------------------------------------------------------------------
+
+
+def _uniforms(shape):
+    """(0,1) uniform tile from the per-core PRNG (24-bit mantissas)."""
+    # bitcast first: raw prng bits may carry an int32 type, and an
+    # arithmetic >> of a set sign bit would yield negative "uniforms"
+    # (log -> NaN downstream).
+    b = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # >>8 keeps 24 random bits — exactly representable in f32; +eps avoids 0.
+    # Mosaic has no uint32->f32 cast; after the shift the value fits in 24
+    # bits, so viewing as int32 is lossless and int32->f32 lowers fine.
+    b24 = pltpu.bitcast(b >> 8, jnp.int32)
+    return b24.astype(jnp.float32) * _f32(2.0**-24) + _f32(2.0**-25)
+
+
+def _normal_tile(shape):
+    """Standard-normal tile via Box-Muller on PRNG bits."""
+    u1 = _uniforms(shape)
+    u2 = _uniforms(shape)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos(_f32(2.0 * np.pi) * u2)
+
+
+def _mppi_solve_kernel(
+    robot,
+    c,
+    H,
+    n_iters,
+    K,
+    dt,
+    include_gravity,
+    use_damping,
+    gravity,
+    ee,
+    precond,
+    goal_weight,
+    effort_weight,
+    temperature,
+    noise_sigma,
+    emax,
+    packed,
+    # refs:
+    seed_ref,  # scalar-prefetch [G] int32 seeds (indexed by program_id)
+    q0_ref,  # lane-broadcast per-scenario constants
+    qd0_ref,
+    tauref_ref,
+    goal_ref,
+    a0_ref,  # [H*D] lane-broadcast nominal init (accel units)
+    h0_ref,  # None when precond=False
+    tau_out_ref,  # [H*D] applied torques (uniform across lanes)
+    costs_ref,  # [n_iters+1] row t = best sampled cost at iter t; last = nominal
+    a_ref,  # scratch [H*D] nominal (uniform tiles)
+    eps_ref,  # scratch [H*D] per-sample noise
+):
+    """MPPI (Williams et al. 2017) with the ENTIRE solve in one launch:
+    lanes are the K samples, per iteration the kernel draws noise with the
+    on-core PRNG, integrates all K perturbed torque sequences through the
+    full forward dynamics, softmax-weights the sampled costs (cross-lane
+    reductions), and updates the nominal — same parametrization and cost
+    as `solvers.solve_dynamic_mppi` (acceleration-unit noise around the
+    gravity-compensation reference through the start-state mass matrix).
+    Sample 0 is pinned to the unperturbed nominal, padded lanes (>= K) get
+    zero softmax weight. The PRNG stream differs from jax.random's
+    (threefry) — determinism is per-seed, and the sigma->0 limit is
+    bitwise the nominal rollout (the parity gate used in tests).
+
+    `packed=True` (K <= 128) lays SUB_R scenarios on the sublanes with the
+    K samples on the lane axis, so one tile serves 8 scenarios at full
+    lane utilization (all reductions go per-sublane); `packed=False`
+    (K up to 1024) gives the whole tile to one scenario's samples."""
+    D = robot.n_dofs
+    shape = (SUB_R, LANE_R)
+    dtype = tau_out_ref.dtype
+
+    pltpu.prng_seed(seed_ref[pl.program_id(0)])
+
+    q0 = tuple(q0_ref[d] for d in range(D))
+    qd0 = tuple(qd0_ref[d] for d in range(D))
+    tau_ref_v = tuple(tauref_ref[d] for d in range(D))
+    goal_v = tuple(goal_ref[j] for j in range(3))
+    H0v = None
+    if precond:
+        H0v = [[h0_ref[dd * D + e] for e in range(D)] for dd in range(D)]
+
+    gw2 = _f32(_f32(goal_weight) * _f32(goal_weight))
+    cgoal_w = _f32(gw2 / (3.0 * H))
+    ceff_w = _f32(_f32(effort_weight) / (H * D))
+    sigma = _f32(noise_sigma)
+    inv_temp = _f32(1.0 / float(np.float32(temperature)))
+
+    # sample id of each (sublane, lane) slot; in packed mode the sublane
+    # is the scenario, so the sample id is the lane index alone and every
+    # reduction below stays within its sublane.
+    sub_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    sample_id = lane_i if packed else sub_i * LANE_R + lane_i
+    red = (1,) if packed else (0, 1)  # reduction axes (per scenario)
+    valid = sample_id < K  # padded lanes excluded from the update
+    nominal0 = sample_id == 0  # sample 0 carries the incumbent
+
+    def clip_tau_d(tau_d, d):
+        if emax is None or not np.isfinite(emax[d]):
+            return tau_d
+        e = _f32(emax[d])
+        return jnp.clip(tau_d, -e, e)
+
+    def dtau_of(a_h):
+        if not precond:
+            return a_h
+        return tuple(
+            f.add(*[f.m(H0v[d][e], a_h[e]) for e in range(D)])
+            for d in range(D)
+        )
+
+    def rollout_costs(read_a):
+        """Integrate all lanes through the dynamics; `read_a(h, e)` yields
+        the (possibly perturbed) accel-unit action tile for step h."""
+
+        def body(h, carry):
+            q, qd, cg, ce = carry
+            a_h = tuple(read_a(h, e) for e in range(D))
+            dtau = dtau_of(a_h)
+            tau = tuple(
+                clip_tau_d(f.add(tau_ref_v[d], dtau[d]), d) for d in range(D)
+            )
+            qn, qdn = _fd_step_folded(
+                robot, c, dt, include_gravity, use_damping, gravity, q, qd, tau
+            )
+            pe = _ee_fk_folded(robot, c, qn, ee)
+            for j in range(3):
+                diff = f.sub(pe[j], goal_v[j])
+                cg = cg + diff * diff
+            for d in range(D):
+                ce = ce + dtau[d] * dtau[d]
+            return (qn, qdn, cg, ce)
+
+        zeros = jnp.zeros(shape, dtype)
+        _, _, cg, ce = jax.lax.fori_loop(0, H, body, (q0, qd0, zeros, zeros))
+        return f.add(f.m(cgoal_w, cg), f.m(ceff_w, ce))
+
+    a_ref[...] = a0_ref[...]
+
+    def outer(t, carry):
+        # fresh per-sample noise; sample 0 and padded lanes forced to 0
+        for i in range(H * D):
+            z = _normal_tile(shape)
+            eps_ref[i] = jnp.where(nominal0, 0.0, sigma * z)
+        costs = rollout_costs(
+            lambda h, e: a_ref[h * D + e] + eps_ref[h * D + e]
+        )
+        costs_m = jnp.where(valid, costs, jnp.inf)
+        cmin = jnp.min(costs_m, axis=red, keepdims=True)
+        w = jnp.where(valid, jnp.exp(-(costs_m - cmin) * inv_temp), 0.0)
+        zsum = jnp.sum(w, axis=red, keepdims=True)
+        costs_ref[t] = jnp.broadcast_to(cmin, shape).astype(dtype)
+        for i in range(H * D):
+            delta = jnp.sum(eps_ref[i] * w, axis=red, keepdims=True) / zsum
+            a_ref[i] = a_ref[i] + delta
+        return carry
+
+    jax.lax.fori_loop(0, n_iters, outer, 0)
+
+    # final nominal cost + applied torques (uniform across lanes)
+    final_cost = rollout_costs(lambda h, e: a_ref[h * D + e])
+    costs_ref[n_iters] = final_cost
+
+    def emit_body(h, carry):
+        a_h = tuple(a_ref[h * D + e] for e in range(D))
+        dtau = dtau_of(a_h)
+        for d in range(D):
+            tau_out_ref[h * D + d] = clip_tau_d(
+                f.add(tau_ref_v[d], dtau[d]), d
+            )
+        return carry
+
+    jax.lax.fori_loop(0, H, emit_body, 0)
+
+
+def mppi_solve_fused(
+    robot: RobotStruct,
+    q0T: jnp.ndarray,  # [D, B]
+    qd0T: jnp.ndarray,  # [D, B]
+    goalT: jnp.ndarray,  # [3, B]
+    tau_refT: jnp.ndarray,  # [D, B]
+    H0: jnp.ndarray | None,  # [D, D, B] or None
+    aT0: jnp.ndarray,  # [H, D, B] nominal init (accel units)
+    seeds: jnp.ndarray,  # [B] int32 per-scenario PRNG seeds
+    ee_link_idx: int,
+    n_iters: int,
+    n_samples: int,
+    dt: float,
+    temperature: float,
+    noise_sigma: float,
+    goal_weight: float,
+    effort_weight: float,
+    use_damping: bool = True,
+    respect_effort_limits: bool = False,
+    include_gravity: bool = True,
+    gravity: float = GRAVITY,
+):
+    """Whole-solve MPPI with K samples on the lane axis.
+
+    For K <= 128 ("packed" mode) each grid step serves SUB_R=8 scenarios —
+    scenario on the sublane, samples on the lanes, full tile utilization;
+    for 128 < K <= 1024 each scenario gets the whole tile.
+
+    Returns `(tauT_out [H, D, B] applied torques, costs [n_iters+1, B])`
+    where `costs[t]` is the best sampled cost at iteration t and
+    `costs[n_iters]` the final nominal cost — or **None** when the kernel
+    cannot serve the call (traced/non-f32 robot, or n_samples > one lane
+    tile)."""
+    c = _consts(robot)
+    if c is None or robot.n_dofs == 0 or n_samples > TILE_R:
+        return None
+    D = robot.n_dofs
+    H = int(aT0.shape[0])
+    B = q0T.shape[1]
+    dtype = q0T.dtype
+    packed = n_samples <= LANE_R
+    S = SUB_R if packed else 1  # scenarios per grid step
+    G = -(-B // S)
+    Bpad = G * S
+    # Outputs are one lane tile per grid step, so HBM cost scales as
+    # G * H * D * 4 KB — decline absurdly large scenario batches (MPPI's
+    # scenario batches are small; the samples spend the lanes).
+    if G * H * D * TILE_R * 4 > 1 << 30:
+        return None
+
+    emax = None
+    if respect_effort_limits:
+        e = np.asarray(robot.limit_effort, np.float32)
+        emax = tuple(float(v) if v > 0 else float("inf") for v in e)
+
+    def pack(x):  # [K0, B] -> [K0, G, SUB, LANE] per-scenario constants
+        xp = jnp.pad(x, ((0, 0), (0, Bpad - B)))
+        if packed:
+            t = xp.reshape(x.shape[0], G, SUB_R)[:, :, :, None]
+        else:
+            t = xp[:, :, None, None]
+        return jnp.broadcast_to(t, (x.shape[0], G, SUB_R, LANE_R))
+
+    # one PRNG stream per grid step (packed scenarios share it — their
+    # noise differs by slot; determinism stays per-key)
+    seeds_g = jnp.asarray(seeds, jnp.int32).reshape(B)[::S]
+    ins = [
+        seeds_g,
+        pack(q0T.reshape(D, B)),
+        pack(qd0T.reshape(D, B)),
+        pack(tau_refT.reshape(D, B)),
+        pack(goalT.reshape(3, B)),
+        pack(jnp.broadcast_to(aT0, (H, D, B)).reshape(H * D, B)),
+    ]
+    # scalar-prefetch index maps receive (grid_idx, *prefetch_refs)
+    lane_spec = lambda Kdim: pl.BlockSpec(
+        (Kdim, 1, SUB_R, LANE_R), lambda i, _s: (0, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [
+        lane_spec(D), lane_spec(D), lane_spec(D), lane_spec(3),
+        lane_spec(H * D),
+    ]
+    precond = H0 is not None
+    if precond:
+        ins.append(pack(H0.reshape(D * D, B)))
+        in_specs.append(lane_spec(D * D))
+
+    def kernel(*refs):
+        if precond:
+            (seed_r, q0_r, qd0_r, tr_r, gl_r, a0_r, h0_r,
+             tau_o, costs_o, a_s, eps_s) = refs
+            h0_view = h0_r.at[:, 0]
+        else:
+            (seed_r, q0_r, qd0_r, tr_r, gl_r, a0_r,
+             tau_o, costs_o, a_s, eps_s) = refs
+            h0_view = None
+        _mppi_solve_kernel(
+            robot, c, H, n_iters, n_samples, dt, include_gravity,
+            use_damping, gravity, ee_link_idx, precond, goal_weight,
+            effort_weight, temperature, noise_sigma, emax, packed,
+            seed_r,
+            q0_r.at[:, 0], qd0_r.at[:, 0], tr_r.at[:, 0], gl_r.at[:, 0],
+            a0_r.at[:, 0], h0_view,
+            tau_o.at[:, 0], costs_o.at[:, 0],
+            a_s, eps_s,
+        )
+
+    outs = (
+        jax.ShapeDtypeStruct((H * D, G, SUB_R, LANE_R), dtype),
+        jax.ShapeDtypeStruct((n_iters + 1, G, SUB_R, LANE_R), dtype),
+    )
+    blk = lambda Kdim: pltpu.VMEM((Kdim, SUB_R, LANE_R), dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G,),
+        in_specs=in_specs,
+        out_specs=(lane_spec(H * D), lane_spec(n_iters + 1)),
+        scratch_shapes=[blk(H * D), blk(H * D)],
+    )
+    tauP, costsP = pl.pallas_call(
+        kernel,
+        out_shape=outs,
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024
+        ),
+    )(*ins)
+    # output lanes are uniform per scenario; packed mode reads the
+    # per-sublane values at lane 0, unpacked mode slot (0, 0)
+    if packed:
+        tau = tauP[:, :, :, 0].reshape(H * D, Bpad)[:, :B]
+        costs = costsP[:, :, :, 0].reshape(n_iters + 1, Bpad)[:, :B]
+    else:
+        tau = tauP[:, :, 0, 0]
+        costs = costsP[:, :, 0, 0]
+    return tau.reshape(H, D, B), costs

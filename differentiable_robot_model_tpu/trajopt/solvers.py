@@ -748,8 +748,26 @@ def solve_dynamic_mppi_batch(
 ) -> MPPIResult:
     """B independent MPPI solves as one jitted program (vmapped over
     scenarios with per-scenario PRNG keys); results stack on axis 0.
-    Remaining kwargs forward to `solve_dynamic_mppi`."""
+    Remaining kwargs forward to `solve_dynamic_mppi`.
+
+    `rollout_impl="fused"` selects the whole-solve MPPI kernel
+    (ops/pallas/solver.py): the entire sampling loop — on-core PRNG noise,
+    K rollouts on the sample lanes, softmax weighting, nominal update —
+    in ONE kernel launch per call. Same parametrization and cost; the
+    PRNG stream differs from jax.random's, so determinism is per-`key`
+    but the sampled noise is not bitwise the jax path's (the sigma->0
+    limit is — tests gate on it). Falls back to the per-iteration
+    "pallas" engine for traced/non-f32 robots, K > one lane tile, or the
+    adaptation options (adapt_sigma / adapt_temperature)."""
     B = q0.shape[0]
+    if kwargs.get("rollout_impl") == "fused":
+        fused = _mppi_batch_fused(
+            robot, q0, qd0, goal_ee_pos, ee_link_idx, horizon, key,
+            init_actions, dict(kwargs),
+        )
+        if fused is not None:
+            return fused
+        kwargs = dict(kwargs, rollout_impl="pallas")
     keys = jax.random.split(key, B)
     in_axes_init = None if init_actions is None else 0
 
@@ -761,6 +779,70 @@ def solve_dynamic_mppi_batch(
 
     return jax.vmap(solve_one, in_axes=(0, 0, 0, 0, in_axes_init))(
         q0, qd0, goal_ee_pos, keys, init_actions
+    )
+
+
+def _mppi_batch_fused(
+    robot, q0, qd0, goal_ee_pos, ee_link_idx, horizon, key, init_actions,
+    kwargs,
+):
+    """Whole-solve-kernel path for `solve_dynamic_mppi_batch`. Returns a
+    stacked MPPIResult, or None when the kernel declines (the caller falls
+    back to the vmapped per-iteration path)."""
+    if kwargs.pop("rollout_impl", None) != "fused":
+        return None
+    if kwargs.pop("adapt_sigma", False) or kwargs.pop("adapt_temperature", False):
+        return None
+    kwargs.pop("ess_target_frac", None)
+    precondition = kwargs.pop("precondition", True)
+
+    from ..ops.dynamics_scalar import (
+        ldl_solve_scalar,
+        mass_matrix_scalar,
+        rnea_scalar,
+    )
+    from ..ops.pallas.solver import mppi_solve_fused
+
+    B, D_ = q0.shape
+    H = horizon
+    dtype = robot.dtype
+    q0T, qd0T, goalT = q0.T, qd0.T, goal_ee_pos.T
+    zerosT = jnp.zeros_like(q0T)
+    tau_refT = rnea_scalar(robot, q0T, zerosT, zerosT)  # [D, B]
+    H0 = mass_matrix_scalar(robot, q0T) if precondition else None
+    if init_actions is not None:
+        dtauT0 = (
+            jnp.asarray(init_actions, dtype).transpose(1, 2, 0) - tau_refT[None]
+        )  # [H, D, B]
+        if H0 is None:
+            aT0 = dtauT0
+        else:
+            aT0 = ldl_solve_scalar(
+                H0, dtauT0.transpose(1, 0, 2)
+            ).transpose(1, 0, 2)
+    else:
+        aT0 = jnp.zeros((H, D_, 1), dtype) + 0.0 * q0T[None]
+    seeds = jax.random.randint(
+        key, (B,), minval=0, maxval=2**31 - 1, dtype=jnp.int32
+    )
+    out = mppi_solve_fused(
+        robot, q0T, qd0T, goalT, tau_refT, H0,
+        jnp.broadcast_to(aT0, (H, D_, B)), seeds, ee_link_idx,
+        n_iters=kwargs.pop("n_iters", 10),
+        n_samples=kwargs.pop("n_samples", 256),
+        dt=kwargs.pop("dt", 0.02),
+        temperature=kwargs.pop("temperature", 0.01),
+        noise_sigma=kwargs.pop("noise_sigma", 5.0),
+        goal_weight=kwargs.pop("goal_weight", 10.0),
+        effort_weight=kwargs.pop("effort_weight", 1e-4),
+        use_damping=kwargs.pop("use_damping", True),
+        respect_effort_limits=kwargs.pop("respect_effort_limits", False),
+    )
+    if out is None:
+        return None
+    tauT_out, costs = out  # [H, D, B], [n_iters+1, B]
+    return MPPIResult(
+        tauT_out.transpose(2, 0, 1), costs[-1], costs[:-1].T
     )
 
 
