@@ -95,35 +95,52 @@ def main():
         tau_ref = rnea_scalar(struct, q0.T, 0.0 * q0.T, 0.0 * q0.T).T  # [B, D]
         us0 = jnp.tile(tau_ref[:, None, :], (1, H, 1))
 
+        # Linearization engines (round-4 verdict #3 — the per-stage
+        # linearization was the actual cost): "autodiff" = the generic
+        # jacfwd-dynamics + forward-over-reverse cost Hessian;
+        # "gauss_newton" = analytic geometric-Jacobian cost derivatives
+        # (solvers.make_gn_reach_linearize) — same A/B run in-process.
+        from differentiable_robot_model_tpu.trajopt.solvers import (
+            make_gn_reach_linearize,
+        )
+
+        gn_lin = make_gn_reach_linearize(
+            struct, ee, dynamics, goal, stage_goal_w=10.0, effort_w=1e-4,
+            u_ref=0.0, final_goal_w=100.0,
+        )
         for riccati in ("sequential", "parallel"):
-            fn = jax.jit(
-                lambda a, b, r=riccati: ilqr_batch(
-                    dynamics, cost, final_cost, a, b,
-                    n_iters=args.iters, riccati=r,
-                ).cost
-            )
-            try:
-                res = benchmark(fn, x0s, us0, iters=args.reps, warmup=1,
-                                windows=3)
-            except Exception as exc:
-                rows.append({"riccati": riccati, "B": B,
-                             "error": str(exc)[:200]})
-                continue
-            c = np.asarray(fn(x0s, us0))
-            row = {
-                "riccati": riccati,
-                "B": B,
-                "solve_ms": round(res.best_s * 1e3, 2),
-                "solves_per_s": round(B / res.best_s, 1),
-                "mean_cost": round(float(c.mean()), 4),
-                "finite": bool(np.all(np.isfinite(c))),
-            }
-            rows.append(row)
-            print(json.dumps(row), flush=True)
-            if args.out:  # write incrementally: a killed run keeps its rows
-                with open(args.out, "w") as f:
-                    json.dump({"backend": backend, "H": H,
-                               "iters": args.iters, "rows": rows}, f, indent=1)
+            for lin_name, lin in (("autodiff", None), ("gauss_newton", gn_lin)):
+                fn = jax.jit(
+                    lambda a, b, r=riccati, li=lin: ilqr_batch(
+                        dynamics, cost, final_cost, a, b,
+                        n_iters=args.iters, riccati=r, linearize=li,
+                    ).cost
+                )
+                try:
+                    res = benchmark(fn, x0s, us0, iters=args.reps, warmup=1,
+                                    windows=3)
+                except Exception as exc:
+                    rows.append({"riccati": riccati, "B": B,
+                                 "linearize": lin_name,
+                                 "error": str(exc)[:200]})
+                    continue
+                c = np.asarray(fn(x0s, us0))
+                row = {
+                    "riccati": riccati,
+                    "linearize": lin_name,
+                    "B": B,
+                    "solve_ms": round(res.best_s * 1e3, 2),
+                    "solves_per_s": round(B / res.best_s, 1),
+                    "mean_cost": round(float(c.mean()), 4),
+                    "finite": bool(np.all(np.isfinite(c))),
+                }
+                rows.append(row)
+                print(json.dumps(row), flush=True)
+                if args.out:  # write incrementally: a killed run keeps rows
+                    with open(args.out, "w") as f:
+                        json.dump({"backend": backend, "H": H,
+                                   "iters": args.iters, "rows": rows},
+                                  f, indent=1)
 
     if args.out:
         with open(args.out, "w") as f:

@@ -71,14 +71,25 @@ def main():
         # the fused Pallas FK kernels; scalar XLA path off-TPU)
         from differentiable_robot_model_tpu.trajopt.mpc import make_mpc_step_batch
 
-        fk_impl = "pallas" if jax.default_backend() == "tpu" else "scalar"
-        stepB = jax.jit(make_mpc_step_batch(struct, ee, config, fk_impl=fk_impl))
         B = 4096
         states = jax.vmap(lambda q: mpc_init(struct, q, config))(
             jnp.zeros((B, 7), jnp.float32)
         )
         goals = jnp.tile(goal[None], (B, 1))
-        dtB, _ = measure(stepB, (states, goals), reps=10)
+        # same-process engine A/B (tunnel variance makes cross-process
+        # comparisons unreliable): the per-iteration FK-kernel engine vs
+        # the round-4 kinematic whole-solve kernel MPCConfig's "auto"
+        # resolves to on TPU.
+        on_tpu = jax.default_backend() == "tpu"
+        kin_engines = ("pallas", "fused") if on_tpu else ("scalar",)
+        dtB_by = {}
+        for fk_impl in kin_engines:
+            stepB = jax.jit(
+                make_mpc_step_batch(struct, ee, config, fk_impl=fk_impl)
+            )
+            dtB_by[fk_impl], _ = measure(stepB, (states, goals), reps=10)
+        fk_auto = "fused" if on_tpu else "scalar"
+        dtB = dtB_by[fk_auto]
         # on-chip projection: 50 warm-started ticks in ONE dispatch
         n_ticks = 50
         loop = jax.jit(
@@ -95,8 +106,13 @@ def main():
                     "replan_latency_ms_B1_mean": round(dt_mean * 1e3, 3),
                     "onchip_per_tick_ms_B1": round(lt / n_ticks * 1e3, 3),
                     "onchip_tick_rate_hz_B1": round(n_ticks / lt, 1),
+                    "kin_engine_B4096": fk_auto,
                     "replan_latency_ms_B4096": round(dtB * 1e3, 3),
                     "replans_per_s_B4096": round(B / dtB, 1),
+                    **{
+                        f"replan_latency_ms_B4096_{impl}": round(v * 1e3, 3)
+                        for impl, v in dtB_by.items()
+                    },
                 }
             )
         )

@@ -62,25 +62,38 @@ def main():
         print(line, flush=True)
         out_lines.append(line)
 
-    # fleet regime
+    # fleet regime — same-process engine A/B (tunnel variance on ~10 ms
+    # workloads is up to ~1.5x across processes): the vmapped per-iteration
+    # pallas engine vs the whole-solve MPPI kernel ("fused",
+    # ops/pallas/solver.py — the ENTIRE sampling loop in one launch,
+    # round-4 verdict #2's measurement demand).
+    fleet_engines = (
+        ("pallas", "fused") if jax.default_backend() == "tpu" else ("scan",)
+    )
     for B, Ksamp in ((64, 128), (256, 128), (1024, 64)):
         q0 = jnp.asarray(rng.uniform(0.4 * lo, 0.4 * hi, (B, 7)), jnp.float32)
         qd0 = jnp.zeros((B, 7), jnp.float32)
         qg = jnp.asarray(rng.uniform(0.5 * lo, 0.5 * hi, (B, 7)), jnp.float32)
         goals = jax.vmap(lambda q: K.fk_world(struct, q)[1][ee])(qg)
-        fn = jax.jit(lambda q, qd, g, k, Ks=Ksamp: solve_dynamic_mppi_batch(
-            struct, q, qd, g, ee, horizon=args.H, key=k, n_samples=Ks,
-            n_iters=args.iters,
-        ).actions)
         key = jax.random.key(1)
-        res = benchmark(fn, q0, qd0, goals, key, iters=3, warmup=1, windows=3)
-        dt = res.best_s
-        emit({
-            "regime": "fleet", "B": B, "n_samples": Ksamp,
-            "solve_batch_ms": round(dt * 1e3, 2),
-            "solves_per_s": round(B / dt, 1),
-            "fd_rollouts_per_s": round(B * Ksamp * args.iters / dt, 1),
-        })
+        for impl_f in fleet_engines:
+            fn = jax.jit(
+                lambda q, qd, g, k, Ks=Ksamp, im=impl_f:
+                solve_dynamic_mppi_batch(
+                    struct, q, qd, g, ee, horizon=args.H, key=k,
+                    n_samples=Ks, n_iters=args.iters, rollout_impl=im,
+                ).actions
+            )
+            res = benchmark(fn, q0, qd0, goals, key, iters=3, warmup=1,
+                            windows=3)
+            dt = res.best_s
+            emit({
+                "regime": "fleet", "B": B, "n_samples": Ksamp,
+                "rollout_impl": impl_f,
+                "solve_batch_ms": round(dt * 1e3, 2),
+                "solves_per_s": round(B / dt, 1),
+                "fd_rollouts_per_s": round(B * Ksamp * args.iters / dt, 1),
+            })
 
     # replan-latency regime
     impl = args.rollout_impl

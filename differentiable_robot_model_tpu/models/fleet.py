@@ -152,6 +152,38 @@ def ee_position_fleet(robot: FleetRobot, q: jnp.ndarray) -> jnp.ndarray:
     return robot.ee_onehot @ p
 
 
+def ee_trajectory_fleet(
+    robot: FleetRobot, q_traj: jnp.ndarray, remat_chunk: int = 8
+) -> jnp.ndarray:
+    """EE positions for a whole trajectory q_traj [H, Dmax] -> [H, 3], with
+    the H axis processed in rematerialized chunks.
+
+    A single vmapped `ee_position_fleet` over H is fine forward, but its
+    backward residuals are every pointer-jumping round's [*, Lmax, 3, 3]
+    world rotations for ALL H steps at once — at the flagship shape
+    (H=50, B=512 scenarios, fleet axis on top) that is what OOM'd the
+    padded program at H=50 in round 4 (BASELINE.md). Chunking H through
+    `lax.map` with `jax.checkpoint` on the chunk body stores only the
+    chunk inputs and replays the FK per chunk in the backward, bounding
+    the residual peak at chunk/H of the old one for a ~(H/chunk)-deep
+    sequential loop — the identification-capable padded form now survives
+    the flagship horizon (the specialized fast path is untouched).
+    `remat_chunk=None` (or >= H) restores the all-at-once layout.
+    """
+    H = q_traj.shape[0]
+    if remat_chunk is None or remat_chunk >= H:
+        return jax.vmap(lambda qq: ee_position_fleet(robot, qq))(q_traj)
+    chunk = remat_chunk
+    pad = (-H) % chunk
+    qp = jnp.pad(q_traj, ((0, pad), (0, 0)))
+    qc = qp.reshape((H + pad) // chunk, chunk, q_traj.shape[1])
+    body = jax.checkpoint(
+        lambda qs: jax.vmap(lambda qq: ee_position_fleet(robot, qq))(qs)
+    )
+    ee = jax.lax.map(body, qc)
+    return ee.reshape(-1, 3)[:H]
+
+
 def ee_jacobian_fleet(robot: FleetRobot, q: jnp.ndarray):
     """Geometric Jacobian of the fleet end-effector: (lin, ang) [3, Dmax]."""
     from ..ops.kinematics import world_joint_subspaces
@@ -213,7 +245,7 @@ def kinematic_rollout_fleet(robot: FleetRobot, q0: jnp.ndarray, actions: jnp.nda
     q_traj = clamp_affine_q_traj(
         q_start, actions[:-1], robot.limit_lower, robot.limit_upper
     )  # [H, Dmax]
-    ee_traj = jax.vmap(lambda qq: ee_position_fleet(robot, qq))(q_traj)
+    ee_traj = ee_trajectory_fleet(robot, q_traj)
     return ee_traj, q_traj
 
 
@@ -434,7 +466,7 @@ def solve_fleet_dynamic_adam(
             qs, _ = dynamic_rollout_fleet(
                 robot, q0_r, qd0_r, taus, dt, use_damping=use_damping
             )
-            p = jax.vmap(lambda qq: ee_position_fleet(robot, qq))(qs)
+            p = ee_trajectory_fleet(robot, qs)
             err = goal_weight * (p - goal_r)
             # masked mean over REAL dofs: identical cost (and gradients) to
             # the single-robot solver regardless of this fleet's padding

@@ -192,7 +192,8 @@ class TriangParam3DInertiaMatrix:
                 )
             J1, J2, J3 = J_diag[0], J_diag[1], J_diag[2]
             assert J1 > self.bias and J2 > self.bias, (
-                "Please set bias value smaller, such that this condition is satisfied!"
+                f"principal moments ({J1:.3g}, {J2:.3g}) must exceed the "
+                f"bias {self.bias:.3g}; lower `bias` for this inertia"
             )
             alpha = np.arccos(
                 np.clip((J1 * J1 + J2 * J2 - J3 * J3) / (2.0 * J1 * J2), -1.0, 1.0)

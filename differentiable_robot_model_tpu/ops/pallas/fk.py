@@ -27,8 +27,6 @@ tests/test_pallas.py.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -367,8 +365,10 @@ def _dm_run_bwd(robot, chain, qM, g):
 def _fk_dof_major_frozen(robot: RobotStruct, link_idx: int):
     """Frozen-robot variant: the struct stays in CLOSURE (concrete at trace
     time) so every kinematic constant reaches the kernels as a float
-    immediate. custom_vjp lifts its array *arguments* to tracers — which
-    would silently drop the immediates path — hence this factory shape."""
+    immediate (f32 robots) or as VMEM refs (non-f32 robots — _call_fwd and
+    _call_bwd re-check _concrete_consts internally and pick the refs layout).
+    custom_vjp lifts its array *arguments* to tracers — which would silently
+    drop the immediates path — hence this factory shape."""
     chain = _chain_to(robot, link_idx)
 
     @jax.custom_vjp
@@ -383,7 +383,14 @@ def _fk_dof_major_frozen(robot: RobotStruct, link_idx: int):
 
 
 def _unwrap_primal(p):
-    """CustomVJPPrimal pytree -> (values pytree, any-leaf-perturbed)."""
+    """CustomVJPPrimal pytree -> (values pytree, any-leaf-perturbed).
+
+    Used by the symbolic_zeros custom_vjp factories in ops/pallas/rollout.py,
+    whose fwd receives CustomVJPPrimal-wrapped arguments. (Their residual
+    structure is branch-INdependent — only cotangent SymbolicZeros vary — so
+    they do not hit the scan-linearization failure that forced the FK entry
+    points below to decide robot concreteness before the custom_vjp
+    boundary.)"""
     leaves = jax.tree_util.tree_leaves(
         p, is_leaf=lambda x: hasattr(x, "perturbed")
     )
@@ -393,41 +400,19 @@ def _unwrap_primal(p):
     return vals, any(l.perturbed for l in leaves)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _fk_dof_major_traced(robot: RobotStruct, qM: jnp.ndarray, link_idx: int):
-    return _dm_run_fwd(robot, _chain_to(robot, link_idx), qM)
+def _robot_is_concrete(robot: RobotStruct) -> bool:
+    """True iff every kernel-read array of the struct is a trace-time
+    constant (i.e. the robot reached this call via closure, not as a traced
+    argument). Tracers raise on numpy conversion."""
+    try:
+        import numpy as _np
 
-
-def _dm_vjp_fwd(robot_p, qM_p, link_idx):
-    # symbolic_zeros mode: arguments arrive as CustomVJPPrimal leaves carrying
-    # a .perturbed flag. When the caller demands robot-parameter cotangents
-    # (identification through an fk_impl="pallas" solve), the geometric-
-    # Jacobian kernel backward cannot provide them — so this path falls back
-    # to the differentiable scalar FK (value AND vjp), instead of silently
-    # returning zero robot gradients (round-1 advisor finding).
-    robot, robot_perturbed = _unwrap_primal(robot_p)
-    qM, _ = _unwrap_primal(qM_p)
-    if robot_perturbed:
-        from ..kinematics import fk_link_position_dof_first
-
-        out, vjp_fn = jax.vjp(
-            lambda r, x: fk_link_position_dof_first(r, x, link_idx), robot, qM
-        )
-        return out, (vjp_fn, None)
-    return _dm_run_fwd(robot, _chain_to(robot, link_idx), qM), (None, (robot, qM))
-
-
-def _dm_vjp_bwd(link_idx, res, g):
-    vjp_fn, plain = res
-    if plain is None:
-        return vjp_fn(g)
-    robot, qM = plain
-    dq = _dm_run_bwd(robot, _chain_to(robot, link_idx), qM, g)
-    zeros = jax.tree_util.tree_map(jnp.zeros_like, robot)
-    return zeros, dq
-
-
-_fk_dof_major_traced.defvjp(_dm_vjp_fwd, _dm_vjp_bwd, symbolic_zeros=True)
+        _np.asarray(robot.trans)
+        _np.asarray(robot.rot_angles)
+        _np.asarray(robot.axis)
+        return True
+    except Exception:
+        return False
 
 
 def fk_position_dof_major(robot: RobotStruct, qM: jnp.ndarray, link_idx: int):
@@ -441,53 +426,52 @@ def fk_position_dof_major(robot: RobotStruct, qM: jnp.ndarray, link_idx: int):
 
     When `robot` is concrete (closed over by the jitted caller — the
     production deployment mode) the kernels bake all kinematic constants as
-    float immediates (see _concrete_consts); a traced robot falls back to
-    reading them from refs.
+    float immediates (f32 structs, see _concrete_consts) or read them from
+    VMEM refs (non-f32 structs, preserving their precision), with the
+    geometric-Jacobian kernel backward covering qM.
 
-    VJP: the geometric-Jacobian kernel backward covers qM; when the caller
-    also demands robot-parameter cotangents (identification through an
-    fk_impl="pallas" solve), the symbolic_zeros VJP detects it and falls
-    back to the differentiable scalar FK for value and gradients — robot
-    gradients flow either way (see _dm_vjp_fwd).
+    A TRACED robot (e.g. identification: differentiating w.r.t. robot
+    parameters through an fk_impl="pallas" solve, or a robot passed as a jit
+    argument) routes to the fully differentiable scalar FK *before* any
+    custom_vjp boundary, so robot-parameter cotangents flow through plain
+    autodiff. The previous design detected perturbed-ness inside a
+    symbolic_zeros custom_vjp fwd, but branch-dependent residual structures
+    break `jax.grad`-of-`lax.scan` linearization ("Linearization failed to
+    produce known values for all output primals") — deciding concreteness
+    once at trace time is both simpler and robust (round-4 verdict #1).
     """
-    if _concrete_consts(robot) is not None:
+    if _robot_is_concrete(robot):
         return _fk_dof_major_frozen(robot, link_idx)(qM)
-    return _fk_dof_major_traced(robot, qM, link_idx)
+    from ..kinematics import fk_link_position_dof_first
+
+    return fk_link_position_dof_first(robot, qM, link_idx)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _fk_flat_frozen(robot: RobotStruct, link_idx: int):
+    """Flat-batch twin of _fk_dof_major_frozen (robot concrete, in closure)."""
+
+    @jax.custom_vjp
+    def f(q):
+        return _fk_pallas_fwd_impl(robot, q, link_idx)
+
+    f.defvjp(
+        lambda q: (_fk_pallas_fwd_impl(robot, q, link_idx), q),
+        lambda q, g: (_fk_pallas_bwd_impl(robot, q, g, link_idx),),
+    )
+    return f
+
+
 def fk_link_position_pallas(robot: RobotStruct, q: jnp.ndarray, link_idx: int):
     """World position of link `link_idx` for a flat config batch q: [N, D].
 
     Fused single-kernel forward; geometric-Jacobian single-kernel backward
-    w.r.t. q. When robot-parameter cotangents are demanded, the whole call
-    falls back to the differentiable scalar FK (exact parameter gradients)
-    instead of silently returning zeros — see _dm_vjp_fwd.
+    w.r.t. q when the robot is concrete (closed over). A traced robot (robot
+    gradients demanded, or robot passed as a jit argument) routes to the
+    fully differentiable scalar FK before the custom_vjp boundary — same
+    rationale as `fk_position_dof_major`.
     """
-    return _fk_pallas_fwd_impl(robot, q, link_idx)
+    if _robot_is_concrete(robot):
+        return _fk_flat_frozen(robot, link_idx)(q)
+    from ..kinematics import fk_link_position
 
-
-def _vjp_fwd(robot_p, q_p, link_idx):
-    robot, robot_perturbed = _unwrap_primal(robot_p)
-    q, _ = _unwrap_primal(q_p)
-    if robot_perturbed:
-        from ..kinematics import fk_link_position
-
-        out, vjp_fn = jax.vjp(
-            lambda r, x: fk_link_position(r, x, link_idx), robot, q
-        )
-        return out, (vjp_fn, None)
-    return _fk_pallas_fwd_impl(robot, q, link_idx), (None, (robot, q))
-
-
-def _vjp_bwd(link_idx, res, g):
-    vjp_fn, plain = res
-    if plain is None:
-        return vjp_fn(g)
-    robot, q = plain
-    dq = _fk_pallas_bwd_impl(robot, q, g, link_idx)
-    zeros = jax.tree_util.tree_map(jnp.zeros_like, robot)
-    return zeros, dq
-
-
-fk_link_position_pallas.defvjp(_vjp_fwd, _vjp_bwd, symbolic_zeros=True)
+    return fk_link_position(robot, q, link_idx)

@@ -284,7 +284,17 @@ def adam_solve_fused(
     back to the per-iteration paths.
     """
     c = _consts(robot)
-    if c is None or robot.n_dofs == 0:
+    # n_iters < 1 would make the bias-correction block a zero-size VMEM
+    # BlockSpec (Mosaic compile error); the scan path handles it (returns
+    # the init with its cost), so decline (round-4 advisor finding).
+    # Off-TPU backends cannot lower the Mosaic kernel at all (and interpret
+    # emulation of the whole-solve loop nest is impractical — see
+    # tests/test_pallas.py module docstring): decline so an explicit
+    # "fused" request falls back cleanly, e.g. under a CPU validation mesh
+    # (round-4 verdict #7).
+    if c is None or robot.n_dofs == 0 or n_iters < 1:
+        return None
+    if not interpret and jax.default_backend() != "tpu":
         return None
     D = robot.n_dofs
     H = int(aT0.shape[0])
@@ -533,7 +543,12 @@ def kinematic_adam_solve_fused(
     or horizon 1 — the H-1-step sweep needs at least one action step)."""
     c = _consts(robot)
     H = int(aT0.shape[0])
-    if c is None or robot.n_dofs == 0 or H < 2:
+    # n_iters < 1: same zero-size bias-correction BlockSpec decline as
+    # adam_solve_fused (round-4 advisor finding); off-TPU: same clean
+    # decline as adam_solve_fused.
+    if c is None or robot.n_dofs == 0 or H < 2 or n_iters < 1:
+        return None
+    if not interpret and jax.default_backend() != "tpu":
         return None
     D = robot.n_dofs
     B = q0T.shape[1]
@@ -816,6 +831,8 @@ def mppi_solve_fused(
     tile)."""
     c = _consts(robot)
     if c is None or robot.n_dofs == 0 or n_samples > TILE_R:
+        return None
+    if jax.default_backend() != "tpu":  # same clean decline as adam_solve_fused
         return None
     D = robot.n_dofs
     H = int(aT0.shape[0])

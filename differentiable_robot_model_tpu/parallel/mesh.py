@@ -105,6 +105,11 @@ def sharded_kinematic_mpc(
         mesh=mesh,
         in_specs=(P(axis_name), P(axis_name)),
         out_specs=(P(axis_name), P(axis_name)),
+        # the local solve may contain pallas_call (fk_impl="pallas"/"fused");
+        # pallas outputs carry no vma annotation, so the shard_map vma
+        # checker must be off for the kernel engines to compose (the
+        # program is zero-collective: nothing for the checker to verify)
+        check_vma=False,
     )
     return jax.jit(f)
 
@@ -158,6 +163,7 @@ def sharded_dynamic_mpc(
         mesh=mesh,
         in_specs=(P(axis_name), P(axis_name), P(axis_name)),
         out_specs=(P(axis_name), P(axis_name)),
+        check_vma=False,  # pallas engines may run inside (see above)
     )
     return jax.jit(f)
 
@@ -201,6 +207,7 @@ def sharded_mppi(
         mesh=mesh,
         in_specs=(P(axis_name),) * 4,
         out_specs=(P(axis_name), P(axis_name)),
+        check_vma=False,  # pallas engines may run inside (see above)
     )
     return jax.jit(f)
 
@@ -238,6 +245,7 @@ def sharded_fleet_dynamic_mpc(
         mesh=mesh,
         in_specs=(P(None, axis_name),) * 3,
         out_specs=(P(None, axis_name), P(None, axis_name)),
+        check_vma=False,  # pallas engines may run inside (see above)
     )
     return jax.jit(f)
 

@@ -35,6 +35,14 @@ class MPCConfig:
     lr: float = 0.05
     goal_weight: float = 100.0
     replan_interval: int = 1  # execute this many actions per replan
+    # FK/solve engine for the batched driver, like DynamicMPCConfig's
+    # rollout_impl: "auto" picks the kinematic whole-solve kernel on TPU
+    # backends (the ENTIRE Adam loop in one launch, ops/pallas/solver.py,
+    # with per-robot fallback to the per-iteration FK kernel) and the
+    # scalar-XLA path elsewhere; "fused"/"pallas"/"scalar" force a choice
+    # (see solvers.solve_kinematic_adam_batch). The per-sample
+    # `make_mpc_step` driver ignores this (it runs the unbatched solver).
+    fk_impl: str = "auto"
 
 
 class MPCState(NamedTuple):
@@ -101,7 +109,7 @@ def make_mpc_step_batch(
     robot: RobotStruct,
     ee_link_idx: int,
     config: MPCConfig,
-    fk_impl: str = "pallas",
+    fk_impl: str | None = None,
     eps: float = 1e-8,
 ):
     """Throughput twin of `make_mpc_step` for a whole scenario fleet.
@@ -111,9 +119,19 @@ def make_mpc_step_batch(
     call per solver iteration covers all B scenarios x H steps, instead of
     vmapping the per-sample solver. States are the same MPCState pytree with
     a leading batch axis, so `mpc_init` composes with vmap as usual.
+
+    The engine comes from `config.fk_impl` ("auto" rides the kinematic
+    whole-solve kernel on TPU); the `fk_impl` parameter, when given,
+    overrides the config (kept for per-call engine A/Bs, e.g.
+    benchmarks/latency.py).
     """
     from ..ops import kinematics as K
     from .solvers import solve_kinematic_adam_batch
+
+    if fk_impl is None:
+        fk_impl = config.fk_impl
+    if fk_impl == "auto":
+        fk_impl = "fused" if jax.default_backend() == "tpu" else "scalar"
 
     def step(states: MPCState, goals: jnp.ndarray):
         result = solve_kinematic_adam_batch(
@@ -458,6 +476,17 @@ class ILQRMPCConfig:
     replan_interval: int = 1
     respect_effort_limits: bool = False
     riccati: str = "sequential"  # or "parallel" (see solvers.ilqr)
+    # Stage-derivative engine:
+    # - "gauss_newton" (default): analytic cost derivatives — the stage cost
+    #   is quadratic in (ee-position, torque), so lx/lxx come from the
+    #   geometric Jacobian (ops/kinematics.link_jacobian) with the standard
+    #   Gauss-Newton curvature 2w J^T J (drops the FK second-derivative
+    #   term; PSD by construction, which also starves the LM lambda less
+    #   than the occasionally-indefinite exact Hessian). Dynamics jacobians
+    #   still via one forward-mode pass.
+    # - "exact": solvers.ilqr's generic autodiff linearization (full cost
+    #   Hessian through FK).
+    linearization: str = "gauss_newton"
 
 
 class ILQRMPCState(NamedTuple):
@@ -544,11 +573,21 @@ def make_ilqr_mpc_step(
             # cost only by that constant).
             return goal_term(x) + ew * jnp.sum((u - tau_ref) ** 2)
 
+        linearize = None
+        if config.linearization == "gauss_newton":
+            from .solvers import make_gn_reach_linearize
+
+            linearize = make_gn_reach_linearize(
+                robot, ee_link_idx, dynamics, goal,
+                stage_goal_w=gw, effort_w=ew, u_ref=tau_ref,
+            )
+
         x0 = jnp.concatenate([state.q, state.qd])
         result = ilqr(
             dynamics, cost, goal_term, x0, state.plan,
             n_iters=config.iters_per_step, reg=config.reg,
             riccati=config.riccati, control_bounds=control_bounds,
+            linearize=linearize,
         )
         q, qd = state.q, state.qd
         for i in range(config.replan_interval):

@@ -137,6 +137,14 @@ def solve_kinematic_adam_batch(
     dtype = robot.dtype
 
     if fk_impl in ("pallas", "fused"):
+        from ..ops.pallas import tpu_kernels_available
+
+        if not tpu_kernels_available():
+            # Explicit kernel-engine request off-TPU: degrade to the scalar
+            # XLA path instead of failing at Mosaic lowering (a deployment
+            # config must run verbatim on a CPU validation mesh).
+            fk_impl = "scalar"
+    if fk_impl in ("pallas", "fused"):
         from ..ops.pallas.fk import fk_position_dof_major
 
         # "fused" (the whole-solve kernel below) binds this too; it is only
@@ -433,6 +441,14 @@ def solve_dynamic_adam_batch(
         return tauT if emax is None else jnp.clip(tauT, -emax, emax)
 
     if rollout_impl in ("pallas", "fused"):
+        from ..ops.pallas import tpu_kernels_available
+
+        if not tpu_kernels_available():
+            # Explicit kernel-engine request off-TPU (e.g. a deployment
+            # config run on a CPU validation mesh): degrade to the XLA scan
+            # path instead of failing at Mosaic lowering.
+            rollout_impl = "scan"
+    if rollout_impl in ("pallas", "fused"):
         # EE-fused kernel: the rollout emits the end-effector trajectory
         # directly (the cost's FK runs INSIDE the kernel), so each solver
         # iteration is exactly one forward launch + one adjoint launch.
@@ -653,6 +669,11 @@ def solve_dynamic_mppi(
         a0 = jnp.zeros((H, D_), dtype) + 0.0 * q0
 
     if rollout_impl == "pallas":
+        from ..ops.pallas import tpu_kernels_available
+
+        if not tpu_kernels_available():
+            rollout_impl = "scan"  # same off-TPU degrade as the Adam solvers
+    if rollout_impl == "pallas":
         # EE-fused kernel (see solve_dynamic_adam_batch): the sample
         # rollouts emit the end-effector trajectory directly.
         from ..ops.pallas.rollout import dynamic_rollout_ee_pallas as _ro_ee
@@ -789,12 +810,27 @@ def _mppi_batch_fused(
     """Whole-solve-kernel path for `solve_dynamic_mppi_batch`. Returns a
     stacked MPPIResult, or None when the kernel declines (the caller falls
     back to the vmapped per-iteration path)."""
-    if kwargs.pop("rollout_impl", None) != "fused":
+    import inspect
+
+    # Fill from solve_dynamic_mppi's OWN defaults so the fused and vmapped
+    # paths can never silently diverge, and reject unknown kwargs the same
+    # way the vmapped path would (round-4 advisor finding).
+    known = {
+        k: p.default
+        for k, p in inspect.signature(solve_dynamic_mppi).parameters.items()
+        if p.default is not inspect.Parameter.empty
+    }
+    unknown = set(kwargs) - set(known)
+    if unknown:
+        raise TypeError(
+            f"solve_dynamic_mppi_batch got unexpected kwargs: {sorted(unknown)}"
+        )
+    opts = {**known, **kwargs}
+    if opts["rollout_impl"] != "fused":
         return None
-    if kwargs.pop("adapt_sigma", False) or kwargs.pop("adapt_temperature", False):
+    if opts["adapt_sigma"] or opts["adapt_temperature"]:
         return None
-    kwargs.pop("ess_target_frac", None)
-    precondition = kwargs.pop("precondition", True)
+    precondition = opts["precondition"]
 
     from ..ops.dynamics_scalar import (
         ldl_solve_scalar,
@@ -828,15 +864,15 @@ def _mppi_batch_fused(
     out = mppi_solve_fused(
         robot, q0T, qd0T, goalT, tau_refT, H0,
         jnp.broadcast_to(aT0, (H, D_, B)), seeds, ee_link_idx,
-        n_iters=kwargs.pop("n_iters", 10),
-        n_samples=kwargs.pop("n_samples", 256),
-        dt=kwargs.pop("dt", 0.02),
-        temperature=kwargs.pop("temperature", 0.01),
-        noise_sigma=kwargs.pop("noise_sigma", 5.0),
-        goal_weight=kwargs.pop("goal_weight", 10.0),
-        effort_weight=kwargs.pop("effort_weight", 1e-4),
-        use_damping=kwargs.pop("use_damping", True),
-        respect_effort_limits=kwargs.pop("respect_effort_limits", False),
+        n_iters=opts["n_iters"],
+        n_samples=opts["n_samples"],
+        dt=opts["dt"],
+        temperature=opts["temperature"],
+        noise_sigma=opts["noise_sigma"],
+        goal_weight=opts["goal_weight"],
+        effort_weight=opts["effort_weight"],
+        use_damping=opts["use_damping"],
+        respect_effort_limits=opts["respect_effort_limits"],
     )
     if out is None:
         return None
@@ -992,15 +1028,29 @@ def ilqr(
     riccati_mesh=None,
     control_bounds: tuple | None = None,
     diagnostics: bool = False,
+    linearize: Callable | None = None,
 ) -> ILQRResult:
     """Iterative LQR over generic dynamics x' = f(x, u) and costs.
 
-    Fully jittable: derivatives via jax.jacobian/jax.hessian vmapped over the
-    horizon, Riccati recursion as a reverse lax.scan, and a parallel line
-    search (all alphas rolled out at once, best taken) instead of a
-    sequential Armijo loop — trading a little extra compute for zero
-    data-dependent control flow, which is the right trade on TPU.
+    Fully jittable: per-stage derivatives from ONE vmapped
+    `jacfwd(dynamics, argnums=(0, 1))` (n+m forward-mode columns through a
+    single primal trace — measured far cheaper than the two reverse-mode
+    jacobians of the round-4 implementation, whose cost dominated the
+    solve) plus one forward-over-reverse cost Hessian; Riccati recursion
+    as a reverse lax.scan; and a parallel line search (all alphas rolled
+    out at once, best taken) instead of a sequential Armijo loop — trading
+    a little extra compute for zero data-dependent control flow, which is
+    the right trade on TPU.
     No reference analog (the reference only has first-order trajopt).
+
+    `linearize`, when given, replaces the autodiff linearization entirely:
+    `linearize(xs, us) -> (A, B, lx, lu, lxx, luu, lux, Vx, Vxx)` with
+    A [H, n, n], B [H, n, m], stage-cost derivatives at (xs[:-1], us), and
+    terminal derivatives at xs[-1]. This is how the torque-space MPC driver
+    supplies its analytic Gauss-Newton cost derivatives (the stage cost is
+    quadratic in (ee-position, torque), so lxx = 2w J^T J needs only the
+    geometric Jacobian the framework already computes —
+    `mpc.make_ilqr_mpc_step(linearization="gauss_newton")`).
 
     `riccati` selects the backward-pass factorization:
     - "sequential": the textbook reverse lax.scan recursion;
@@ -1048,25 +1098,34 @@ def ilqr(
         )
         us_init = jnp.clip(us_init, u_lo, u_hi)
 
-    f_x = jax.vmap(jax.jacobian(dynamics, argnums=0))
-    f_u = jax.vmap(jax.jacobian(dynamics, argnums=1))
-    c_x = jax.vmap(jax.grad(cost, argnums=0))
-    c_u = jax.vmap(jax.grad(cost, argnums=1))
-    c_xx = jax.vmap(jax.hessian(cost, argnums=0))
-    c_uu = jax.vmap(jax.hessian(cost, argnums=1))
-    c_ux = jax.vmap(jax.jacobian(jax.grad(cost, argnums=1), argnums=0))
+    if linearize is None:
+        # Dynamics: both jacobians from ONE forward-mode pass (n+m tangent
+        # columns share the primal trace; jax.hessian's outer transform is
+        # already jacfwd, so the cost path is forward-over-reverse).
+        f_AB = jax.vmap(jax.jacfwd(dynamics, argnums=(0, 1)))
+
+        def _cz(z):  # cost over the concatenated stage variable
+            return cost(z[:n], z[n:])
+
+        _cost_gH = jax.vmap(
+            lambda x, u: (
+                lambda z: (jax.grad(_cz)(z), jax.hessian(_cz)(z))
+            )(jnp.concatenate([x, u]))
+        )
+
+        def linearize(xs, us):
+            A, B = f_AB(xs[:-1], us)  # [H, n, n], [H, n, m]
+            g, Hm = _cost_gH(xs[:-1], us)  # [H, n+m], [H, n+m, n+m]
+            lx, lu = g[:, :n], g[:, n:]
+            lxx = Hm[:, :n, :n]
+            luu = Hm[:, n:, n:]
+            lux = Hm[:, n:, :n]
+            Vx = jax.grad(final_cost)(xs[-1])
+            Vxx = jax.hessian(final_cost)(xs[-1])
+            return A, B, lx, lu, lxx, luu, lux, Vx, Vxx
 
     def backward_pass(xs, us, lam):
-        A = f_x(xs[:-1], us)  # [H, n, n]
-        B = f_u(xs[:-1], us)  # [H, n, m]
-        lx = c_x(xs[:-1], us)
-        lu = c_u(xs[:-1], us)
-        lxx = c_xx(xs[:-1], us)
-        luu = c_uu(xs[:-1], us)
-        lux = c_ux(xs[:-1], us)
-
-        Vx = jax.grad(final_cost)(xs[-1])
-        Vxx = jax.hessian(final_cost)(xs[-1])
+        A, B, lx, lu, lxx, luu, lux, Vx, Vxx = linearize(xs, us)
 
         if riccati in ("parallel", "horizon_sharded"):
             # The sequential recursion regularizes Quu with lam*I, which is
@@ -1182,6 +1241,68 @@ def ilqr(
     return ILQRResult(xs, us, final, jnp.concatenate([cost0[None], history]))
 
 
+def make_gn_reach_linearize(
+    robot: RobotStruct,
+    ee_link_idx: int,
+    dynamics: Callable,
+    goal: jnp.ndarray,  # [3]
+    stage_goal_w: float,
+    effort_w: float,
+    u_ref: jnp.ndarray | float = 0.0,  # [m] reference control (e.g. tau_ref)
+    final_goal_w: float | None = None,
+):
+    """Analytic Gauss-Newton `linearize` hook for `ilqr` on reach costs.
+
+    For the standard reach problem — state x = [q; qd], stage cost
+    `stage_goal_w * |p_ee(q) - goal|^2 + effort_w * |u - u_ref|^2`, final
+    cost `final_goal_w * |p_ee(q) - goal|^2` — every cost derivative is
+    available in closed form from the geometric Jacobian the framework
+    already computes (ops/kinematics.link_jacobian): lx = 2w J^T r,
+    lxx = 2w J^T J (Gauss-Newton: the FK second-derivative term is
+    dropped, making lxx PSD by construction), lu = 2w_e (u - u_ref),
+    luu = 2w_e I, lux = 0. Replaces the vmapped jax.hessian-through-FK of
+    the generic path — the dominant cost of the round-4 iLQR profile —
+    while the dynamics jacobians still come from one forward-mode pass.
+
+    Pass the result as `ilqr(..., linearize=...)` /
+    `ilqr_batch(..., linearize=...)`; the dynamics/cost callables passed
+    alongside must describe the SAME problem (they still drive the
+    rollouts and line search).
+    """
+    from ..ops import kinematics as K
+
+    D = robot.n_dofs
+    wf = stage_goal_w if final_goal_w is None else final_goal_w
+    f_AB = jax.vmap(jax.jacfwd(dynamics, argnums=(0, 1)))
+
+    def goal_gn(x, w):
+        q = x[:D]
+        n = x.shape[0]
+        p = K.fk_link_position(robot, q[None], ee_link_idx)[0]
+        J, _ = K.link_jacobian(robot, q, ee_link_idx)  # [3, D]
+        g = jnp.zeros((n,), x.dtype).at[:D].set(2.0 * w * (J.T @ (p - goal)))
+        Hm = jnp.zeros((n, n), x.dtype).at[:D, :D].set(2.0 * w * (J.T @ J))
+        return g, Hm
+
+    def linearize(xs, us):
+        us = us.astype(xs.dtype)  # mixed-precision caller inputs (e.g. an
+        # x64 warm start against an f32 plant) must not leak f64 into the
+        # Riccati scan carry
+        H_, m = us.shape
+        n = xs.shape[1]
+        A, B = f_AB(xs[:-1], us)
+        lx, lxx = jax.vmap(lambda x: goal_gn(x, stage_goal_w))(xs[:-1])
+        lu = 2.0 * effort_w * (us - u_ref)
+        luu = jnp.broadcast_to(
+            2.0 * effort_w * jnp.eye(m, dtype=us.dtype), (H_, m, m)
+        )
+        lux = jnp.zeros((H_, m, n), us.dtype)
+        Vx, Vxx = goal_gn(xs[-1], wf)
+        return A, B, lx, lu, lxx, luu, lux, Vx, Vxx
+
+    return linearize
+
+
 def ilqr_batch(
     dynamics: Callable,
     cost: Callable,
@@ -1195,6 +1316,7 @@ def ilqr_batch(
     mesh=None,
     axis_name: str = "scenario",
     control_bounds: tuple | None = None,
+    linearize: Callable | None = None,
 ) -> ILQRResult:
     """B independent iLQR solves as ONE jitted program (vmapped), optionally
     sharded over a device mesh's scenario axis.
@@ -1220,7 +1342,7 @@ def ilqr_batch(
         dynamics, cost, final_cost, x0, us0,
         n_iters=n_iters, reg=reg,
         line_search_alphas=line_search_alphas, riccati=riccati,
-        control_bounds=control_bounds,
+        control_bounds=control_bounds, linearize=linearize,
     )
     batched = jax.vmap(solve_one)
     if mesh is None:

@@ -242,6 +242,53 @@ class TestMPC:
         assert np.all(np.asarray(costs) <= np.asarray(costs0) + 1e-6)
         assert np.all(np.isfinite(np.asarray(final.qd)))
 
+    def test_ilqr_mpc_gauss_newton_vs_exact(self, iiwa_struct):
+        """The analytic Gauss-Newton linearization (the driver's default —
+        geometric-Jacobian cost derivatives, no jax.hessian through FK)
+        reaches the same closed-loop quality as the exact-Hessian
+        linearization on the reach task; both improve every replan."""
+        from differentiable_robot_model_tpu.trajopt.mpc import (
+            ILQRMPCConfig,
+            ilqr_mpc_init,
+            make_ilqr_mpc_step,
+        )
+
+        struct = iiwa_struct
+        ee = struct.link_index("iiwa_link_ee")
+        goal = K.fk_link_position(
+            struct, jnp.asarray([0.3, 0.3, 0.0, -0.9, 0.0, 0.6, 0.0],
+                                jnp.float32), ee)
+        q0 = jnp.zeros(7, jnp.float32)
+        finals = {}
+        for lin in ("gauss_newton", "exact"):
+            config = ILQRMPCConfig(
+                horizon=10, iters_per_step=3, linearization=lin
+            )
+            step = make_ilqr_mpc_step(struct, ee, config)
+
+            def body(state, _):
+                state, metrics = step(state, goal)
+                return state, (metrics.goal_distance, metrics.cost,
+                               metrics.cost_initial)
+
+            state0 = ilqr_mpc_init(struct, q0, jnp.zeros(7, jnp.float32),
+                                   config)
+            _, (dists, costs, costs0) = jax.jit(
+                lambda s, step=step: jax.lax.scan(
+                    lambda st, _: body(st, _), s, None, length=10
+                )
+            )(state0)
+            assert np.all(np.asarray(costs) <= np.asarray(costs0) + 1e-6), lin
+            finals[lin] = float(np.asarray(dists)[-1])
+        d0 = float(np.linalg.norm(np.asarray(
+            goal - K.fk_link_position(struct, q0[None], ee)[0]
+        )))
+        # both close most of the distance; GN is not worse than exact by
+        # more than a small margin of the initial distance
+        assert finals["gauss_newton"] < 0.5 * d0
+        assert finals["exact"] < 0.5 * d0
+        assert finals["gauss_newton"] <= finals["exact"] + 0.1 * d0
+
     def test_ilqr_mpc_respects_effort_limits(self, iiwa_struct):
         """Control-limited iLQR driver: planned torques stay inside the
         URDF effort box."""

@@ -142,12 +142,59 @@ def test_pallas_fk_arbitrary_axis_and_traced_robot():
     q = jnp.asarray(rng.uniform(-1, 1, (11, 3)), jnp.float32)
     ref = fk_link_position(s, q, 3)
     with pltpu.force_tpu_interpret_mode():
-        # concrete struct -> immediates path
+        # concrete f32 struct -> immediates path
         p_frozen = fk_position_dof_major(s, q.T, 3).T
-        # struct through jit args -> tracer -> refs path
-        p_traced = jax.jit(lambda st, qq: fk_position_dof_major(st, qq, 3))(s, q.T).T
+        # concrete f64 struct -> frozen refs path (precision-preserving)
+        s64 = s.astype(jnp.float64)
+        p_refs = fk_position_dof_major(
+            s64, q.T.astype(jnp.float64), 3
+        ).T
+    # struct through jit args -> tracer -> the fully differentiable scalar
+    # route (traced robots never reach the kernels; see fk_position_dof_major)
+    p_traced = jax.jit(lambda st, qq: fk_position_dof_major(st, qq, 3))(s, q.T).T
     assert np.allclose(np.asarray(p_frozen), np.asarray(ref), atol=1e-5)
+    assert np.allclose(np.asarray(p_refs), np.asarray(ref), atol=1e-5)
     assert np.allclose(np.asarray(p_traced), np.asarray(ref), atol=1e-5)
+
+
+def test_pallas_fk_robot_gradients_through_scan():
+    """Round-4 regression (verdict #1): jax.grad w.r.t. ROBOT parameters
+    through fk_position_dof_major inside a lax.scan must work — the old
+    symbolic_zeros custom_vjp fallback raised 'Linearization failed to
+    produce known values for all output primals' here. Traced robots now
+    route to the scalar FK before any custom_vjp boundary; gradients are
+    checked against the scalar path directly."""
+    from differentiable_robot_model_tpu.ops.kinematics import (
+        fk_link_position_dof_first,
+    )
+    from differentiable_robot_model_tpu.ops.pallas.fk import (
+        fk_position_dof_major,
+    )
+
+    s = DifferentiableKUKAiiwa().struct
+    idx = s.link_index("iiwa_link_ee")
+    rng = np.random.default_rng(13)
+    qT = jnp.asarray(rng.uniform(-1.5, 1.5, (7, 5)), jnp.float32)
+
+    def make_loss(fk):
+        def loss(trans):
+            s2 = s.with_arrays(trans=trans)
+
+            def body(carry, _):
+                p = fk(s2, qT + 0.01 * carry, idx)
+                return carry + 1.0, jnp.sum(p * p)
+
+            _, ys = jax.lax.scan(body, jnp.float32(0.0), None, length=3)
+            return jnp.sum(ys)
+
+        return loss
+
+    g_pallas_entry = jax.grad(make_loss(fk_position_dof_major))(s.trans)
+    g_scalar = jax.grad(make_loss(fk_link_position_dof_first))(s.trans)
+    assert np.allclose(
+        np.asarray(g_pallas_entry), np.asarray(g_scalar), atol=1e-5
+    )
+    assert bool(jnp.all(jnp.isfinite(g_pallas_entry)))
 
 
 def test_pallas_rnea_nonmultiple_batch():
@@ -576,3 +623,96 @@ class TestFusedSolveKernel:
         g = jax.grad(loss)(s.trans)
         assert g.shape == s.trans.shape
         assert bool(jnp.all(jnp.isfinite(g)))
+
+    def test_mppi_trace_and_shapes(self):
+        """The MPPI whole-solve kernel branch traces end-to-end (packed
+        K<=128 and unpacked K>128 layouts) and returns the same result
+        structure as the vmapped per-iteration path."""
+        from differentiable_robot_model_tpu.trajopt.solvers import (
+            solve_dynamic_mppi_batch,
+        )
+
+        s, ee, B, H, IT, q0, qd0, goals = self._problem()
+        key = jax.random.PRNGKey(0)
+        for K in (64, 256):  # packed / unpacked sample layouts
+            out = jax.eval_shape(
+                lambda a, b, c, k, K=K: solve_dynamic_mppi_batch(
+                    s, a, b, c, ee, horizon=H, key=k,
+                    n_iters=IT, n_samples=K, rollout_impl="fused",
+                ),
+                q0, qd0, goals, key,
+            )
+            assert out.actions.shape == (B, H, 7)
+            assert out.cost.shape == (B,)
+            assert out.cost_history.shape == (B, IT)
+            assert out.actions.dtype == jnp.float32
+
+    def test_mppi_fused_declines(self):
+        """mppi_solve_fused returns None for non-f32 structs and for
+        sample counts beyond one lane tile (the caller then falls back to
+        the vmapped per-iteration path)."""
+        from differentiable_robot_model_tpu.ops.pallas.solver import (
+            TILE_R,
+            mppi_solve_fused,
+        )
+
+        s, ee, *_ = self._problem()
+        D = s.n_dofs
+
+        def call(robot, dtype, K):
+            z = jnp.zeros((D, 2), dtype)
+            return mppi_solve_fused(
+                robot, z, z, jnp.zeros((3, 2), dtype), z, None,
+                jnp.zeros((4, D, 2), dtype), jnp.zeros((2,), jnp.int32), ee,
+                n_iters=2, n_samples=K, dt=0.02, temperature=0.01,
+                noise_sigma=5.0, goal_weight=10.0, effort_weight=1e-4,
+            )
+
+        assert call(s.astype(jnp.float64), jnp.float64, 64) is None
+        assert call(s, jnp.float32, TILE_R + 1) is None
+
+    def test_mppi_fused_adaptation_and_traced_fall_back(self):
+        """The adaptation options (adapt_sigma/adapt_temperature) and a
+        traced struct are outside the kernel's contract: the batch driver
+        transparently uses the per-iteration path (trace-checked — the
+        result structure is unchanged)."""
+        from differentiable_robot_model_tpu.trajopt.solvers import (
+            solve_dynamic_mppi_batch,
+        )
+
+        s, ee, B, H, IT, q0, qd0, goals = self._problem()
+        key = jax.random.PRNGKey(0)
+        out = jax.eval_shape(
+            lambda a, b, c, k: solve_dynamic_mppi_batch(
+                s, a, b, c, ee, horizon=H, key=k, n_iters=IT,
+                n_samples=32, rollout_impl="fused", adapt_sigma=True,
+            ),
+            q0, qd0, goals, key,
+        )
+        assert out.actions.shape == (B, H, 7)
+
+        # traced struct: mppi_solve_fused declines (robot constants are not
+        # trace-time foldable), the fallback still traces
+        def run(trans):
+            s2 = s.with_arrays(trans=trans)
+            return solve_dynamic_mppi_batch(
+                s2, q0, qd0, goals, ee, horizon=2, key=key, n_iters=1,
+                n_samples=32, rollout_impl="fused",
+            ).cost
+        out2 = jax.eval_shape(run, s.trans)
+        assert out2.shape == (B,)
+
+    def test_mppi_unknown_kwarg_raises(self):
+        """The fused branch rejects unknown kwargs exactly like the vmapped
+        path would (round-4 advisor finding: silently-ignored typos)."""
+        from differentiable_robot_model_tpu.trajopt.solvers import (
+            solve_dynamic_mppi_batch,
+        )
+
+        s, ee, B, H, IT, q0, qd0, goals = self._problem()
+        with pytest.raises(TypeError, match="unexpected"):
+            solve_dynamic_mppi_batch(
+                s, q0, qd0, goals, ee, horizon=H,
+                key=jax.random.PRNGKey(0), rollout_impl="fused",
+                noise_sgima=1.0,  # typo'd on purpose
+            )

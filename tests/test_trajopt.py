@@ -460,6 +460,151 @@ def test_parallel_riccati_iiwa_reach():
     assert np.linalg.norm(np.asarray(p[ee]) - np.asarray(goal)) < 0.05
 
 
+def test_gn_linearize_matches_autodiff_derivatives():
+    """make_gn_reach_linearize: every returned stage derivative that is
+    exact in Gauss-Newton (A, B, lx, lu, luu, lux, Vx) matches autodiff of
+    the same cost to fp tolerance; lxx/Vxx differ ONLY by the dropped FK
+    curvature term (checked small relative to the GN term and PSD)."""
+    from differentiable_robot_model_tpu import DifferentiableKUKAiiwa
+    from differentiable_robot_model_tpu.trajopt.rollout import (
+        fd_step_implicit_damping,
+    )
+    from differentiable_robot_model_tpu.trajopt.solvers import (
+        make_gn_reach_linearize,
+    )
+
+    struct = DifferentiableKUKAiiwa().struct
+    ee = struct.link_index("iiwa_link_ee")
+    D_, dt = 7, 0.02
+    goal = jnp.asarray([0.45, 0.15, 0.65], jnp.float32)
+
+    def dynamics(x, u):
+        q, qd = x[:D_], x[D_:]
+        qdd = fd_step_implicit_damping(struct, q, qd, u, dt)
+        qd2 = qd + dt * qdd
+        return jnp.concatenate([q + dt * qd2, qd2])
+
+    gw, ew, wf = 10.0, 1e-4, 100.0
+
+    def cost(x, u):
+        p = K.fk_link_position(struct, x[None, :D_], ee)[0]
+        return gw * jnp.sum((p - goal) ** 2) + ew * jnp.sum(u * u)
+
+    def final_cost(x):
+        p = K.fk_link_position(struct, x[None, :D_], ee)[0]
+        return wf * jnp.sum((p - goal) ** 2)
+
+    rng = np.random.default_rng(5)
+    H = 4
+    xs = jnp.asarray(
+        np.concatenate(
+            [rng.uniform(-0.6, 0.6, (H + 1, D_)),
+             rng.uniform(-0.3, 0.3, (H + 1, D_))], axis=1
+        ), jnp.float32)
+    us = jnp.asarray(rng.uniform(-3, 3, (H, D_)), jnp.float32)
+
+    gn = make_gn_reach_linearize(
+        struct, ee, dynamics, goal, stage_goal_w=gw, effort_w=ew,
+        u_ref=0.0, final_goal_w=wf,
+    )
+    A, B, lx, lu, lxx, luu, lux, Vx, Vxx = gn(xs, us)
+
+    A_ref = jax.vmap(jax.jacfwd(dynamics, argnums=0))(xs[:-1], us)
+    B_ref = jax.vmap(jax.jacfwd(dynamics, argnums=1))(xs[:-1], us)
+    lx_ref = jax.vmap(jax.grad(cost, argnums=0))(xs[:-1], us)
+    lu_ref = jax.vmap(jax.grad(cost, argnums=1))(xs[:-1], us)
+    lxx_ref = jax.vmap(jax.hessian(cost, argnums=0))(xs[:-1], us)
+    Vx_ref = jax.grad(final_cost)(xs[-1])
+
+    assert np.allclose(np.asarray(A), np.asarray(A_ref), atol=1e-5)
+    assert np.allclose(np.asarray(B), np.asarray(B_ref), atol=1e-5)
+    # cost gradients are EXACT in GN (it only approximates curvature)
+    scale = float(np.abs(np.asarray(lx_ref)).max())
+    assert np.allclose(np.asarray(lx), np.asarray(lx_ref), atol=1e-4 * scale)
+    assert np.allclose(np.asarray(lu), np.asarray(lu_ref), atol=1e-6)
+    assert np.allclose(np.asarray(Vx), np.asarray(Vx_ref),
+                       atol=1e-4 * float(np.abs(np.asarray(Vx_ref)).max()))
+    assert np.allclose(np.asarray(lux), 0.0)
+    assert np.allclose(np.asarray(luu), 2.0 * ew * np.eye(D_), atol=1e-7)
+    # GN Hessian: PSD by construction (the exact Hessian need not be)
+    evals = np.linalg.eigvalsh(np.asarray(lxx))
+    assert evals.min() > -1e-4
+    # ... and EXACT in the zero-residual limit: at a state whose ee
+    # position IS the goal, the dropped curvature term 2w sum_j r_j Hess(p_j)
+    # vanishes, so GN lxx == autodiff lxx there
+    x_star = xs[0]
+    p_star = K.fk_link_position(struct, x_star[None, :D_], ee)[0]
+    gn0 = make_gn_reach_linearize(
+        struct, ee, dynamics, p_star, stage_goal_w=gw, effort_w=ew,
+        u_ref=0.0, final_goal_w=wf,
+    )
+
+    def cost0(x, u):
+        p = K.fk_link_position(struct, x[None, :D_], ee)[0]
+        return gw * jnp.sum((p - p_star) ** 2) + ew * jnp.sum(u * u)
+
+    _, _, _, _, lxx0, _, _, _, _ = gn0(
+        jnp.tile(x_star[None], (2, 1)), us[:1]
+    )
+    lxx0_ref = jax.hessian(cost0, argnums=0)(x_star, us[0])
+    h0 = max(1.0, float(np.abs(np.asarray(lxx0_ref)).max()))
+    assert np.abs(np.asarray(lxx0[0]) - np.asarray(lxx0_ref)).max() < 1e-3 * h0
+
+
+def test_ilqr_gn_linearize_solves_reach():
+    """ilqr(linearize=make_gn_reach_linearize(...)) converges on the
+    torque-space iiwa reach to comparable quality as the generic autodiff
+    linearization at the same iteration budget."""
+    from differentiable_robot_model_tpu import DifferentiableKUKAiiwa
+    from differentiable_robot_model_tpu.ops.dynamics_scalar import rnea_scalar
+    from differentiable_robot_model_tpu.trajopt.rollout import (
+        fd_step_implicit_damping,
+    )
+    from differentiable_robot_model_tpu.trajopt.solvers import (
+        make_gn_reach_linearize,
+    )
+
+    struct = DifferentiableKUKAiiwa().struct
+    ee = struct.link_index("iiwa_link_ee")
+    D_, dt = 7, 0.02
+    goal = jnp.asarray([0.45, 0.15, 0.65], jnp.float32)
+
+    def dynamics(x, u):
+        q, qd = x[:D_], x[D_:]
+        qdd = fd_step_implicit_damping(struct, q, qd, u, dt)
+        qd2 = qd + dt * qdd
+        return jnp.concatenate([q + dt * qd2, qd2])
+
+    def cost(x, u):
+        p = K.fk_link_position(struct, x[None, :D_], ee)[0]
+        return 10.0 * jnp.sum((p - goal) ** 2) + 1e-4 * jnp.sum(u * u)
+
+    def final_cost(x):
+        p = K.fk_link_position(struct, x[None, :D_], ee)[0]
+        return 100.0 * jnp.sum((p - goal) ** 2)
+
+    q0 = jnp.asarray([0.2, 0.4, -0.1, -1.0, 0.3, 0.8, 0.0], jnp.float32)
+    x0 = jnp.concatenate([q0, jnp.zeros(7, jnp.float32)])
+    z71 = jnp.zeros((7, 1), jnp.float32)
+    tau_ref = rnea_scalar(struct, q0[:, None], z71, z71)[:, 0]
+    us0 = jnp.tile(tau_ref[None], (15, 1)).astype(jnp.float32)
+
+    gn = make_gn_reach_linearize(
+        struct, ee, dynamics, goal, stage_goal_w=10.0, effort_w=1e-4,
+        u_ref=0.0, final_goal_w=100.0,
+    )
+    r_gn = jax.jit(lambda: ilqr(dynamics, cost, final_cost, x0, us0,
+                                n_iters=10, linearize=gn))()
+    r_ad = jax.jit(lambda: ilqr(dynamics, cost, final_cost, x0, us0,
+                                n_iters=10))()
+    h_gn = np.asarray(r_gn.cost_history)
+    h_ad = np.asarray(r_ad.cost_history)
+    assert np.isfinite(h_gn).all()
+    assert h_gn[-1] < h_gn[0] * 0.5
+    # comparable quality (both are descent methods on the same problem)
+    assert h_gn[-1] <= h_ad[-1] * 1.5 + 1e-3
+
+
 def test_ilqr_torque_space_dynamic():
     """iLQR through the real forward dynamics (torque controls): stabilize
     the 2-link robot at an upright target. No reference analog (the
