@@ -628,8 +628,11 @@ class MPPIMPCConfig:
     effort_weight: float = 1e-4
     replan_interval: int = 1
     respect_effort_limits: bool = False
-    # Rollout engine, like DynamicMPCConfig: "auto" = fused Pallas kernel on
-    # TPU (the K sample rollouts are one kernel launch), scan elsewhere.
+    # Rollout engine, like DynamicMPCConfig: "auto" = on TPU, the
+    # per-iteration EE-fused rollout kernel in the per-sample driver
+    # (make_mppi_mpc_step) and the whole-solve MPPI kernel in the batch
+    # driver (make_mppi_mpc_step_batch — the ENTIRE sampling loop in one
+    # launch, 3.2-6.8x at fleet shapes, MPPI_r05.json); scan off-TPU.
     rollout_impl: str = "auto"
     # Per-dof noise-scale + softmax-temperature adaptation
     # (solvers.solve_dynamic_mppi adapt_sigma/adapt_temperature).
@@ -721,6 +724,87 @@ def make_mppi_mpc_step(
         )
         return (
             MPPIMPCState(q, qd, plan_next, key_next, state.step_count + 1),
+            metrics,
+        )
+
+    return step
+
+
+def make_mppi_mpc_step_batch(
+    robot: RobotStruct, ee_link_idx: int, config: MPPIMPCConfig
+):
+    """Throughput twin of `make_mppi_mpc_step` for a scenario fleet:
+    `(states [B], goals [B, 3]) -> (states', metrics)` on the batched
+    sampling solver (solvers.solve_dynamic_mppi_batch). States are the same
+    MPPIMPCState pytree with a leading batch axis (vmapped `mppi_mpc_init`
+    composes as usual).
+
+    `config.rollout_impl="auto"` resolves to the whole-solve MPPI kernel
+    on TPU — the ENTIRE sampling loop (on-core PRNG noise, all K sample
+    rollouts, softmax weighting, nominal updates) in ONE kernel launch per
+    replan, measured 3.2-6.8x the vmapped per-iteration engine at fleet
+    shapes (MPPI_r05.json) — and to the scan path elsewhere. The batched
+    solver derives every scenario's noise stream from ONE key; this driver
+    advances all per-scenario keys each tick (determinism is preserved)
+    but feeds scenario 0's stream to the solve.
+    """
+    from ..ops import kinematics as K
+    from .rollout import _velocity_bound, fd_step_implicit_damping
+    from .solvers import solve_dynamic_mppi_batch
+
+    vmax = _velocity_bound(robot, 1)  # [D, 1] for the dof-major plant step
+    rollout_impl = config.rollout_impl
+    if rollout_impl == "auto":
+        rollout_impl = "fused" if jax.default_backend() == "tpu" else "scan"
+    if config.adapt_sigma or config.adapt_temperature:
+        # adaptation is outside the whole-solve kernel's contract; the
+        # batch solver would fall back anyway — resolve explicitly so the
+        # trace never builds the declined branch
+        if rollout_impl == "fused":
+            rollout_impl = "pallas" if jax.default_backend() == "tpu" else "scan"
+
+    def step(states: MPPIMPCState, goals: jnp.ndarray):
+        keys = jax.vmap(jax.random.split)(states.key)  # [B, 2, ...]
+        key_next, key_solve = keys[:, 0], keys[:, 1]
+        result = solve_dynamic_mppi_batch(
+            robot, states.q, states.qd, goals, ee_link_idx,
+            horizon=config.horizon, key=key_solve[0],
+            n_samples=config.n_samples, n_iters=config.iters_per_step,
+            dt=config.dt, temperature=config.temperature,
+            noise_sigma=config.noise_sigma,
+            goal_weight=config.goal_weight,
+            effort_weight=config.effort_weight,
+            respect_effort_limits=config.respect_effort_limits,
+            init_actions=states.plan,
+            rollout_impl=rollout_impl,
+            adapt_sigma=config.adapt_sigma,
+            adapt_temperature=config.adapt_temperature,
+        )
+        qT, qdT = states.q.T, states.qd.T  # [D, B]
+        for i in range(config.replan_interval):
+            qddT = fd_step_implicit_damping(
+                robot, qT, qdT, result.actions[:, i].T, config.dt
+            )
+            qdT = jnp.clip(qdT + config.dt * qddT, -vmax, vmax)
+            qT = qT + config.dt * qdT
+        n_exec = config.replan_interval
+        plan_next = jnp.concatenate(
+            [
+                result.actions[:, n_exec:],
+                jnp.tile(result.actions[:, -1:], (1, n_exec, 1)),
+            ],
+            axis=1,
+        )
+        q, qd = qT.T, qdT.T
+        ee = jax.vmap(lambda x: K.fk_link_position(robot, x, ee_link_idx))(q)
+        metrics = MPCMetrics(
+            cost=result.cost,
+            cost_initial=result.cost_history[:, 0],
+            goal_distance=jnp.linalg.norm(ee - goals, axis=-1),
+            plan_norm=jnp.sqrt(jnp.mean(result.actions**2, axis=(1, 2))),
+        )
+        return (
+            MPPIMPCState(q, qd, plan_next, key_next, states.step_count + 1),
             metrics,
         )
 

@@ -562,6 +562,61 @@ class TestMPPIMPC:
             state_a, _ = step(state_a, goal)
         assert np.allclose(np.asarray(state_a.q), np.asarray(state_b.q))
 
+    def test_mppi_batch_driver(self, iiwa_struct):
+        """make_mppi_mpc_step_batch: batched states advance, metrics are
+        finite with the right shapes, goal distance shrinks on average,
+        and the loop is deterministic in the init keys (the batch solver
+        derives all scenario noise from scenario 0's stream)."""
+        from differentiable_robot_model_tpu.ops import kinematics as K
+        from differentiable_robot_model_tpu.trajopt.mpc import (
+            MPPIMPCConfig,
+            make_mppi_mpc_step_batch,
+            mppi_mpc_init,
+        )
+
+        struct = iiwa_struct
+        ee = struct.link_index("iiwa_link_ee")
+        B = 3
+        q0 = jnp.tile(
+            jnp.zeros(7, jnp.float32).at[3].set(-1.2)[None], (B, 1)
+        )
+        goals = jax.vmap(
+            lambda q: K.fk_link_position(struct, q, ee)
+            + jnp.asarray([0.06, 0.06, -0.06], jnp.float32)
+        )(q0)
+        config = MPPIMPCConfig(
+            horizon=8, iters_per_step=3, n_samples=32, replan_interval=1
+        )
+        step = jax.jit(make_mppi_mpc_step_batch(struct, ee, config))
+
+        def init(keys):
+            return jax.vmap(
+                lambda q, k: mppi_mpc_init(
+                    struct, q, jnp.zeros(7, jnp.float32), config, k
+                )
+            )(q0, keys)
+
+        keys = jax.random.split(jax.random.key(5), B)
+        states = init(keys)
+        d0 = None
+        for _ in range(5):
+            states, metrics = step(states, goals)
+            if d0 is None:
+                d0 = np.asarray(metrics.goal_distance)
+        assert metrics.cost.shape == (B,)
+        assert metrics.goal_distance.shape == (B,)
+        assert np.all(np.isfinite(np.asarray(states.q)))
+        assert np.asarray(metrics.goal_distance).mean() < d0.mean()
+        assert np.all(np.asarray(states.step_count) == 5)
+
+        states_b = init(keys)
+        for _ in range(2):
+            states_b, _ = step(states_b, goals)
+        states_a = init(keys)
+        for _ in range(2):
+            states_a, _ = step(states_a, goals)
+        assert np.allclose(np.asarray(states_a.q), np.asarray(states_b.q))
+
 
 def test_benchmark_harnesses_parse():
     """Every benchmark harness stays syntactically valid and keeps its CLI
