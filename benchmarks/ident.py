@@ -31,6 +31,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/drm_tpu_jax_cache")
     import jax.numpy as jnp
 
     import differentiable_robot_model_tpu as drm
@@ -53,6 +55,9 @@ def main():
     def emit(d):
         out_lines.append(json.dumps(d))
         print(out_lines[-1], flush=True)
+        if args.out:  # incremental: a killed run keeps its rows
+            with open(args.out, "w") as f:
+                f.write("\n".join(out_lines) + "\n")
 
     def scen(B, seed):
         q0 = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 7)), jnp.float32)
@@ -64,13 +69,16 @@ def main():
     # Kinematic identification: d(total solve cost)/d(link translations)
     # through the FULL batched Adam solve (traced robot -> scalar FK path).
     # ------------------------------------------------------------------
-    for B, H in [(256, 20), (256, 50), (1024, 20)]:
+    # NOTE: each row is a second-order XLA graph (grad THROUGH an
+    # n_iters-scan of value_and_grad); compile is minutes per row on the
+    # chip, so the grid is kept small and n_iters moderate.
+    for B, H, KIT in [(256, 20, 10), (1024, 20, 10), (256, 50, 5)]:
         q0, goals = scen(B, 1)
 
         def loss(trans, q0, goals):
             s2 = struct.with_arrays(trans=trans)
             res = solve_kinematic_adam_batch(
-                s2, q0, goals, ee, horizon=H, n_iters=10,
+                s2, q0, goals, ee, horizon=H, n_iters=KIT,
                 lr=0.05, eps=1.0, fk_impl="scalar",
             )
             return jnp.sum(res.cost)
@@ -80,7 +88,7 @@ def main():
                       iters=args.reps, warmup=1, windows=3)
         emit({
             "workload": "ident_kinematic_grad_step", "B": B, "H": H,
-            "n_iters": 10, "param": "trans",
+            "n_iters": KIT, "param": "trans",
             "step_ms_best": round(r.best_s * 1e3, 2),
             "ident_steps_per_s": round(1.0 / r.best_s, 2),
             "scenario_grads_per_s": round(B / r.best_s, 1),
@@ -94,7 +102,6 @@ def main():
         (256, 20, True, 1),
         (256, 20, False, 1),
         (256, 20, True, 4),
-        (256, 50, True, 1),
     ]:
         q0, goals = scen(B, 2)
         qd0 = jnp.zeros((B, 7), jnp.float32)
@@ -102,7 +109,7 @@ def main():
         def loss(mass, q0, qd0, goals):
             s2 = struct.with_arrays(mass=mass)
             res = solve_dynamic_adam_batch(
-                s2, q0, qd0, goals, ee, horizon=H, n_iters=5, eps=1e-1,
+                s2, q0, qd0, goals, ee, horizon=H, n_iters=3, eps=1e-1,
                 rollout_impl="scan", rollout_remat=remat,
                 rollout_unroll=unroll,
             )
@@ -121,7 +128,7 @@ def main():
             continue
         emit({
             "workload": "ident_dynamic_grad_step", "B": B, "H": H,
-            "n_iters": 5, "param": "mass", "remat": remat,
+            "n_iters": 3, "param": "mass", "remat": remat,
             "unroll": unroll,
             "step_ms_best": round(r.best_s * 1e3, 2),
             "ident_steps_per_s": round(1.0 / r.best_s, 2),

@@ -41,8 +41,16 @@ if not _ON_TPU:
     jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: recompiling ~200 jitted variants (7 robots x
-# batch shapes x algorithms) dominates suite time otherwise.
-jax.config.update("jax_compilation_cache_dir", "/tmp/drm_tpu_jax_cache")
+# batch shapes x algorithms) dominates suite time otherwise. CPU runs use
+# their OWN cache dir: XLA:CPU entries are AOT-compiled against the exact
+# host machine features, and a container reset can land the repo on a
+# different host generation — stale entries then fail feature validation on
+# every load (cpu_aot_loader errors) or risk SIGILL. The TPU cache is
+# hardware-keyed by the chip, not the host, so it stays shared.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    "/tmp/drm_tpu_jax_cache" if _ON_TPU else "/tmp/drm_cpu_jax_cache",
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pytest  # noqa: E402
