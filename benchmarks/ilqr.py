@@ -35,6 +35,14 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument(
+        "--riccati", default="sequential,parallel",
+        help="comma-separated riccati engines to run",
+    )
+    ap.add_argument(
+        "--engines", default="autodiff,gauss_newton,gn_ift",
+        help="comma-separated linearization engines to run",
+    )
+    ap.add_argument(
         "--cpu", action="store_true",
         help="force the CPU backend (pair with "
         "XLA_FLAGS=--xla_disable_hlo_passes=fusion — the XLA:CPU fusion "
@@ -102,14 +110,29 @@ def main():
         # (solvers.make_gn_reach_linearize) — same A/B run in-process.
         from differentiable_robot_model_tpu.trajopt.solvers import (
             make_gn_reach_linearize,
+            make_ift_f_AB,
         )
 
         gn_lin = make_gn_reach_linearize(
             struct, ee, dynamics, goal, stage_goal_w=10.0, effort_w=1e-4,
             u_ref=0.0, final_goal_w=100.0,
         )
-        for riccati in ("sequential", "parallel"):
-            for lin_name, lin in (("autodiff", None), ("gauss_newton", gn_lin)):
+        # "gn_ift": same analytic cost derivatives, dynamics jacobians via
+        # the implicit-function-theorem engine (one primal FD step + 2D
+        # RNEA tangents + back-substitutions instead of 3D tangents through
+        # the full step). vmax=inf because this plant has no velocity clamp.
+        gn_ift_lin = make_gn_reach_linearize(
+            struct, ee, dynamics, goal, stage_goal_w=10.0, effort_w=1e-4,
+            u_ref=0.0, final_goal_w=100.0,
+            f_AB=make_ift_f_AB(
+                struct, dt, vmax=jnp.full((D,), jnp.inf, jnp.float32)
+            ),
+        )
+        engines = {"autodiff": None, "gauss_newton": gn_lin,
+                   "gn_ift": gn_ift_lin}
+        for riccati in args.riccati.split(","):
+            for lin_name in args.engines.split(","):
+                lin = engines[lin_name]
                 fn = jax.jit(
                     lambda a, b, r=riccati, li=lin: ilqr_batch(
                         dynamics, cost, final_cost, a, b,

@@ -487,6 +487,15 @@ class ILQRMPCConfig:
     # - "exact": solvers.ilqr's generic autodiff linearization (full cost
     #   Hessian through FK).
     linearization: str = "gauss_newton"
+    # Dynamics-jacobian engine for the gauss_newton linearization:
+    # - "ift" (default): analytic implicit-function-theorem jacobians
+    #   (solvers.make_ift_f_AB) — the FD solve defines qdd implicitly, so
+    #   A/B cost one primal step + 2D forward tangents through a single
+    #   RNEA (no tangents through the mass matrix or the solve) + cheap
+    #   back-substitutions. Same values as autodiff to roundoff
+    #   (tests/test_trajopt.py::test_ift_f_AB_matches_jacfwd).
+    # - "autodiff": vmap(jacfwd(dynamics)) through the full step.
+    dynamics_jacobians: str = "ift"
 
 
 class ILQRMPCState(NamedTuple):
@@ -575,11 +584,16 @@ def make_ilqr_mpc_step(
 
         linearize = None
         if config.linearization == "gauss_newton":
-            from .solvers import make_gn_reach_linearize
+            from .solvers import make_gn_reach_linearize, make_ift_f_AB
 
+            f_AB = (
+                make_ift_f_AB(robot, config.dt, vmax=vmax)
+                if config.dynamics_jacobians == "ift"
+                else None
+            )
             linearize = make_gn_reach_linearize(
                 robot, ee_link_idx, dynamics, goal,
-                stage_goal_w=gw, effort_w=ew, u_ref=tau_ref,
+                stage_goal_w=gw, effort_w=ew, u_ref=tau_ref, f_AB=f_AB,
             )
 
         x0 = jnp.concatenate([state.q, state.qd])

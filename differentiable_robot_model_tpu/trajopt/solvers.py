@@ -1304,6 +1304,102 @@ def ilqr(
     return ILQRResult(xs, us, final, jnp.concatenate([cost0[None], history]))
 
 
+def make_ift_f_AB(
+    robot: RobotStruct,
+    dt: float,
+    vmax: jnp.ndarray | None = None,
+    include_gravity: bool = True,
+    use_damping: bool = True,
+):
+    """Analytic (implicit-function-theorem) dynamics jacobians for the
+    torque-space plant `fd_step_implicit_damping` + semi-implicit Euler +
+    velocity clamp — the plant every dynamic MPC driver integrates.
+
+    The generic path pushes n+m = 3D forward-mode tangents through the FULL
+    step (RNEA bias + CRB mass matrix + LDL^T solve). But the solve defines
+    qdd implicitly: with Ĥ = H(q) + dt·diag(d),
+
+        F(q, qd, qdd, τ) = RNEA(q, qd, qdd) + dt·d·qdd − τ = 0
+        ⇒ ∂qdd/∂τ      = Ĥ⁻¹
+          ∂qdd/∂(q,qd) = −Ĥ⁻¹ · ∂RNEA(q, qd, qdd*)/∂(q,qd)
+
+    (RNEA(q,qd,qdd) = H(q)qdd + nle(q,qd), so its (q,qd)-jacobian at the
+    solved qdd* carries both the ∂H/∂q·qdd and bias/damping terms.) So the
+    exact jacobians cost ONE primal FD step, 2D tangents through a single
+    RNEA call (no tangents through CRB or the solve), and 3D extra
+    back-substitutions on the factorization — measured 898 vs 538 solves/s
+    (1.67x) against the jacfwd engine at the flagship iLQR shape
+    (H=50/B=64/20 iters on v5e, `ILQR_IFT_r05.json`, benchmarks/ilqr.py
+    --engines gauss_newton,gn_ift; parity test: tests/test_trajopt.py
+    `test_ift_f_AB_matches_jacfwd`, 1e-9 grade in f64).
+
+    The Euler + clamp wrapper is differentiated in closed form: with
+    c = 1{|qd + dt·qdd| ≤ vmax} (the clamp's subgradient mask, matching
+    `jnp.clip`'s jvp), S_y = c·(∂qd/∂y + dt·∂qdd/∂y),
+
+        A = [[I + dt·S_q, dt·S_qd], [S_q, S_qd]],   B = [[dt·S_τ], [S_τ]].
+
+    Returns `f_AB(xs, us) -> (A [H,2D,2D], B [H,2D,D])` for stage-stacked
+    xs [H, 2D], us [H, D] — a drop-in for `make_gn_reach_linearize`'s
+    autodiff `f_AB` (wired via ILQRMPCConfig.dynamics_jacobians="ift").
+    No reference analog (the reference has no second-order solver).
+    """
+    from ..ops.dynamics_scalar import (
+        ldl_solve_scalar,
+        mass_matrix_scalar,
+        rnea_scalar,
+    )
+
+    D = robot.n_dofs
+    if vmax is None:
+        from .rollout import _velocity_bound
+
+        vmax = _velocity_bound(robot, 0)
+
+    def f_AB_one(x, u):
+        q, qd = x[:D], x[D:]
+        dtype = x.dtype
+        nle = rnea_scalar(
+            robot, q, qd, jnp.zeros_like(q),
+            include_gravity=include_gravity, use_damping=use_damping,
+        )
+        Hm = mass_matrix_scalar(robot, q)
+        if use_damping:
+            idx = jnp.arange(D)
+            Hm = Hm.at[idx, idx].add(dt * robot.damping.astype(dtype))
+        qdd = ldl_solve_scalar(Hm, u.astype(dtype) - nle)
+
+        # ∂RNEA/∂(q,qd) at the solved qdd* — 2D tangents through RNEA only.
+        def resid(z):
+            return rnea_scalar(
+                robot, z[:D], z[D:], qdd,
+                include_gravity=include_gravity, use_damping=use_damping,
+            )
+
+        dF = jax.jacfwd(resid)(jnp.concatenate([q, qd]))  # [D, 2D]
+        # One multi-RHS back-substitution batch: Ĥ X = [−dF | I].
+        X = ldl_solve_scalar(
+            Hm, jnp.concatenate([-dF, jnp.eye(D, dtype=dtype)], axis=1)
+        )
+        dqdd_dx, dqdd_du = X[:, : 2 * D], X[:, 2 * D :]
+
+        qd2_pre = qd + dt * qdd
+        c = ((qd2_pre >= -vmax) & (qd2_pre <= vmax)).astype(dtype)  # [D]
+        eye_qd = jnp.concatenate(
+            [jnp.zeros((D, D), dtype), jnp.eye(D, dtype=dtype)], axis=1
+        )
+        Sx = c[:, None] * (eye_qd + dt * dqdd_dx)  # [D, 2D]
+        Su = c[:, None] * (dt * dqdd_du)  # [D, D]
+        eye_q = jnp.concatenate(
+            [jnp.eye(D, dtype=dtype), jnp.zeros((D, D), dtype)], axis=1
+        )
+        A = jnp.concatenate([eye_q + dt * Sx, Sx], axis=0)  # [2D, 2D]
+        B = jnp.concatenate([dt * Su, Su], axis=0)  # [2D, D]
+        return A, B
+
+    return jax.vmap(f_AB_one)
+
+
 def make_gn_reach_linearize(
     robot: RobotStruct,
     ee_link_idx: int,
@@ -1313,6 +1409,7 @@ def make_gn_reach_linearize(
     effort_w: float,
     u_ref: jnp.ndarray | float = 0.0,  # [m] reference control (e.g. tau_ref)
     final_goal_w: float | None = None,
+    f_AB: Callable | None = None,
 ):
     """Analytic Gauss-Newton `linearize` hook for `ilqr` on reach costs.
 
@@ -1331,12 +1428,18 @@ def make_gn_reach_linearize(
     `ilqr_batch(..., linearize=...)`; the dynamics/cost callables passed
     alongside must describe the SAME problem (they still drive the
     rollouts and line search).
+
+    `f_AB`, when given, replaces the autodiff dynamics jacobians
+    (`vmap(jacfwd(dynamics))`) — e.g. `make_ift_f_AB`'s analytic
+    implicit-function-theorem jacobians for the standard torque-space
+    plant. It must describe the SAME dynamics as `dynamics`.
     """
     from ..ops import kinematics as K
 
     D = robot.n_dofs
     wf = stage_goal_w if final_goal_w is None else final_goal_w
-    f_AB = jax.vmap(jax.jacfwd(dynamics, argnums=(0, 1)))
+    if f_AB is None:
+        f_AB = jax.vmap(jax.jacfwd(dynamics, argnums=(0, 1)))
 
     def goal_gn(x, w):
         q = x[:D]

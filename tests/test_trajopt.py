@@ -1011,3 +1011,100 @@ def test_mppi_adaptation_flags(iiwa_scenarios):
     # still a pure function of the key
     res2 = adapt(q0[0], qd0[0], goals[0], key)
     assert np.allclose(np.asarray(res.actions), np.asarray(res2.actions))
+
+
+def test_ift_f_AB_matches_jacfwd():
+    """make_ift_f_AB: the implicit-function-theorem dynamics jacobians are
+    the SAME values as vmap(jacfwd(dynamics)) through the full step — tight
+    in f64 (1e-9 grade; both are exact, differing only in roundoff), loose
+    fp tolerance in f32 — including stages where the velocity clamp
+    saturates (the clamp mask must match jnp.clip's jvp: saturated rows of
+    A/B are zero except dq'/dq = I)."""
+    from differentiable_robot_model_tpu.trajopt.rollout import (
+        _velocity_bound,
+        fd_step_implicit_damping,
+    )
+    from differentiable_robot_model_tpu.trajopt.solvers import make_ift_f_AB
+
+    struct32 = DifferentiableKUKAiiwa().struct
+    ee_dtype_cases = [
+        (struct32, jnp.float32, 1e-4),
+        (
+            jax.tree.map(
+                lambda a: a.astype(jnp.float64)
+                if jnp.issubdtype(a.dtype, jnp.floating)
+                else a,
+                struct32,
+            ),
+            jnp.float64,
+            1e-9,
+        ),
+    ]
+    for struct, dtype, tol in ee_dtype_cases:
+        D_, dt = struct.n_dofs, 0.02
+        vmax = _velocity_bound(struct, 0)
+
+        def dynamics(x, u, struct=struct, vmax=vmax):
+            q, qd = x[:D_], x[D_:]
+            qdd = fd_step_implicit_damping(struct, q, qd, u, dt)
+            qd2 = jnp.clip(qd + dt * qdd, -vmax, vmax)
+            return jnp.concatenate([q + dt * qd2, qd2])
+
+        rng = np.random.default_rng(11)
+        H = 6
+        xs = jnp.asarray(
+            np.concatenate(
+                [rng.uniform(-0.8, 0.8, (H, D_)),
+                 rng.uniform(-0.5, 0.5, (H, D_))], axis=1
+            ), dtype)
+        us = jnp.asarray(rng.uniform(-20, 20, (H, D_)), dtype)
+        # stage 0: a huge torque from rest drives dt*qdd far past the iiwa
+        # velocity limit (~1.48 rad/s) so the clamp saturates
+        xs = xs.at[0, D_:].set(0.0)
+        us = us.at[0].set(1e4)
+
+        A0, B0 = jax.vmap(jax.jacfwd(dynamics, argnums=(0, 1)))(xs, us)
+        A1, B1 = make_ift_f_AB(struct, dt, vmax=vmax)(xs, us)
+        a_scale = float(jnp.abs(A0).max())
+        assert np.allclose(np.asarray(A0), np.asarray(A1),
+                           atol=tol * a_scale), dtype
+        assert np.allclose(np.asarray(B0), np.asarray(B1), atol=tol), dtype
+        # the clamp actually bit somewhere (otherwise the mask went
+        # untested): saturated velocity rows have zero jacobian rows, and
+        # both engines agree on them (checked above)
+        qd2_0 = jax.vmap(dynamics)(xs, us)[0, D_:]
+        sat = np.asarray(jnp.abs(qd2_0) >= np.asarray(vmax) - 1e-6)
+        assert sat.any()
+        zero_rows = np.asarray(jnp.abs(A0[0, D_:, :]).sum(axis=1))[sat]
+        assert np.allclose(zero_rows, 0.0)
+
+
+def test_ilqr_mpc_ift_matches_autodiff_driver():
+    """make_ilqr_mpc_step(dynamics_jacobians='ift') — the default — reaches
+    the same cost as the 'autodiff' engine (identical linearizations up to
+    roundoff; only line-search branch ties may fork, so the gate is on
+    solve cost, not bitwise controls)."""
+    from differentiable_robot_model_tpu.trajopt.mpc import (
+        ILQRMPCConfig,
+        ilqr_mpc_init,
+        make_ilqr_mpc_step,
+    )
+
+    struct = DifferentiableKUKAiiwa().struct
+    ee = struct.link_index("iiwa_link_ee")
+    goal = jnp.asarray([0.45, 0.15, 0.65], jnp.float32)
+    q0 = jnp.zeros((7,), jnp.float32)
+    qd0 = jnp.zeros((7,), jnp.float32)
+
+    costs = {}
+    for engine in ("ift", "autodiff"):
+        cfg = ILQRMPCConfig(
+            horizon=8, iters_per_step=4, dynamics_jacobians=engine
+        )
+        step = jax.jit(make_ilqr_mpc_step(struct, ee, cfg))
+        state = ilqr_mpc_init(struct, q0, qd0, cfg)
+        for _ in range(2):
+            state, metrics = step(state, goal)
+        costs[engine] = float(metrics.cost)
+        assert np.isfinite(costs[engine])
+    assert costs["ift"] <= costs["autodiff"] * 1.05 + 1e-6
