@@ -106,7 +106,8 @@ def _dyn_solver(struct, ee_idx, eps, rollout_impl="scan", n_iters=ITERS):
     )
 
 
-def _ilqr_solver(struct, ee_idx, n_iters, diagnostics=False):
+def _ilqr_solver(struct, ee_idx, n_iters, diagnostics=False,
+                 engine="gn_ift"):
     """Vmapped second-order solve on the same torque plant: state (q, qd),
     control = applied torque, semi-implicit Euler with implicit damping AND
     the per-step URDF velocity clamp — the SAME integrator the deployment
@@ -119,7 +120,15 @@ def _ilqr_solver(struct, ee_idx, n_iters, diagnostics=False):
 
     `diagnostics=True` returns (us, diag_dict) per scenario (see
     trajopt/solvers.ilqr) for the cross-backend divergence analysis in
-    tools/diagnose_ilqr.py."""
+    tools/diagnose_ilqr.py.
+
+    `engine` picks the linearization: "gn_ift" (default — analytic
+    Gauss-Newton cost derivatives + implicit-function-theorem dynamics
+    jacobians, the round-5 production engine: 898 vs 538 vs 318 solves/s
+    for gn_ift / gauss_newton / autodiff at this row's shape,
+    `ILQR_IFT_r05.json`; same engine on BOTH backends, so the parity rows
+    stay same-solver) or "autodiff" (the generic jacfwd+hessian path —
+    the rounds-2..4 record lineage, kept for A/B continuity)."""
     import jax
     import jax.numpy as jnp
 
@@ -128,10 +137,15 @@ def _ilqr_solver(struct, ee_idx, n_iters, diagnostics=False):
         _velocity_bound,
         fd_step_implicit_damping,
     )
-    from differentiable_robot_model_tpu.trajopt.solvers import ilqr
+    from differentiable_robot_model_tpu.trajopt.solvers import (
+        ilqr,
+        make_gn_reach_linearize,
+        make_ift_f_AB,
+    )
 
     D = struct.n_dofs
     vmax = _velocity_bound(struct, 0)
+    f_AB = make_ift_f_AB(struct, DYN_DT, vmax=vmax) if engine == "gn_ift" else None
 
     def dynamics(x, u):
         q, qd = x[:D], x[D:]
@@ -161,9 +175,17 @@ def _ilqr_solver(struct, ee_idx, n_iters, diagnostics=False):
             p = K.fk_link_position(struct, x[:D], ee_idx)
             return 100.0 * jnp.sum((p - goal) ** 2)
 
+        linearize = None
+        if engine == "gn_ift":
+            # goal/tau_ref are per-scenario traced values — the hook is a
+            # pure function of them, so constructing it under vmap is fine.
+            linearize = make_gn_reach_linearize(
+                struct, ee_idx, dynamics, goal, stage_goal_w=10.0,
+                effort_w=1e-4, u_ref=tau_ref, final_goal_w=100.0, f_AB=f_AB,
+            )
         out = ilqr(
             dynamics, cost, final_cost, x0, us0, n_iters=n_iters,
-            diagnostics=diagnostics,
+            diagnostics=diagnostics, linearize=linearize,
         )
         if diagnostics:
             return out[0].us, out[1]
@@ -255,7 +277,12 @@ def cpu_ref_main(in_path: str, out_path: str) -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/drm_tpu_jax_cache")
+    # HOST-LOCAL cache, separate from the TPU cache dir: XLA:CPU entries
+    # are AOT-compiled against the exact machine features of the compiling
+    # host; entries written by a different host generation fail feature
+    # validation on every load (cpu_aot_loader errors, minutes of wasted
+    # re-loads) or risk SIGILL. Same policy as tests/conftest.py.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/drm_cpu_jax_cache")
     import jax.numpy as jnp
 
     data = np.load(in_path)
@@ -527,7 +554,8 @@ def main():
                 "ilqr_solves_per_s": round(ILQR_B / ilqr_dt, 1),
                 "ilqr_unit": (
                     f"solves/s (iiwa torque-space iLQR, H={H}, B={ILQR_B}, "
-                    f"{ILQR_ITERS} iters, sequential Riccati)"
+                    f"{ILQR_ITERS} iters, sequential Riccati, "
+                    "engine=gn_ift)"
                 ),
                 "ilqr_solve_batch_latency_ms": round(ilqr_dt * 1e3, 3),
                 "ilqr_control_seq_max_err_vs_cpu": ilqr_parity,

@@ -66,7 +66,12 @@ def _solve_with_diag(x0s, us0, goals, x64=False):
             else a,
             struct,
         )
-    solver = bench._ilqr_solver(struct, ee_idx, ITERS_DIAG, diagnostics=True)
+    # engine="autodiff": the divergence analysis recorded in
+    # ILQR_DIAG_r04.json ran the generic linearization; keep the tool on
+    # that lineage (bench.py's throughput/parity rows default to gn_ift).
+    solver = bench._ilqr_solver(
+        struct, ee_idx, ITERS_DIAG, diagnostics=True, engine="autodiff"
+    )
     dt = jnp.float64 if x64 else jnp.float32
     us, diag = solver(
         jnp.asarray(x0s, dt), jnp.asarray(us0, dt), jnp.asarray(goals, dt)
